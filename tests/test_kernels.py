@@ -1,0 +1,289 @@
+"""Kernel unit tests with golden values ported from the reference's own
+test suite (reference src/test/*.py)."""
+
+from xwikire_spark.kernels.articles import extract_article
+from xwikire_spark.kernels.dates import format_date, int2roman, ordinal
+from xwikire_spark.kernels.matching import (
+    distant_supervision,
+    distant_supervision_with_relation,
+    find_full_matches,
+    find_matches,
+    flatten_locations,
+)
+from xwikire_spark.kernels.segmenter import segment_sentences
+from xwikire_spark.kernels.templates import fill_template
+from xwikire_spark.kernels.tokenizer import (
+    paragraph_break_indices,
+    rebuild_text,
+    sentence_break_indices,
+    tokenize_with_breaks,
+)
+
+
+class TestTokenizer:
+    # golden fixture from reference src/test/test_tokenizer.py:10-21
+    TEXT = (
+        "Oecomys is a genus of rodent within the tribe Oryzomyini of family "
+        "Cricetidae. It contains about 17 species, which live in trees and "
+        "are distributed across forested parts of South America, extending "
+        "into Panama and Trinidad.\n\nCarleton"
+    )
+    GT_TOKENS = ["Oecomys", "is", "a", "genus", "of", "rodent", "within",
+                 "the", "tribe", "Oryzomyini", "of", "family", "Cricetidae",
+                 ".", "It", "contains", "about", "17", "species", ",",
+                 "which", "live", "in", "trees", "and", "are", "distributed",
+                 "across", "forested", "parts", "of", "South", "America",
+                 ",", "extending", "into", "Panama", "and", "Trinidad", ".",
+                 "Carleton"]
+    GT_BREAKS = [0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 3, 1, 1, 1, 1, 0,
+                 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 0,
+                 4]
+
+    def test_golden_en(self):
+        tokens, breaks = tokenize_with_breaks(self.TEXT)
+        assert tokens == self.GT_TOKENS
+        assert breaks == self.GT_BREAKS
+
+    def test_round_trip(self):
+        # reference round-trip property src/test/test_tokenizer.py:742-747
+        tokens, breaks = tokenize_with_breaks(self.TEXT)
+        assert rebuild_text(tokens, breaks) == self.TEXT
+
+    def test_round_trip_unicode(self):
+        # Kannada round-trip (src/test/test_tokenizer.py:750-758)
+        text = "ಕನ್ನಡ ಒಂದು ಭಾಷೆ. ಇದು ಭಾರತದಲ್ಲಿ ಇದೆ!\n\nಹೊಸ ಪ್ಯಾರಾ."
+        tokens, breaks = tokenize_with_breaks(text)
+        assert rebuild_text(tokens, breaks) == text
+        assert len(tokens) == len(breaks)
+
+    def test_break_derivations(self):
+        # src/builders/WikiReading.py:56-57
+        _, breaks = tokenize_with_breaks(self.TEXT)
+        assert sentence_break_indices(breaks) == [14, 40]
+        assert paragraph_break_indices(breaks) == [40]
+
+    def test_round_trip_punctuation(self):
+        text = "Wait… what?! Yes - it's e.g. a test (v2.0), okay?"
+        tokens, breaks = tokenize_with_breaks(text)
+        assert rebuild_text(tokens, breaks) == text
+
+
+class TestSegmenter:
+    def test_basic(self):
+        text = "A is in B. C was born in 1920! Is D in E?"
+        assert segment_sentences(text) == [
+            "A is in B.", "C was born in 1920!", "Is D in E?"]
+
+    def test_paragraph_collapse(self):
+        # reference collapses \n\n before splitting (src/builders/QA.py:34)
+        text = "First sentence.\n\nSecond line"
+        assert segment_sentences(text) == ["First sentence.", "Second line"]
+
+    def test_empty(self):
+        assert segment_sentences("") == []
+        assert segment_sentences("   ") == []
+
+
+class TestMatching:
+    def test_distant_supervision_first_match(self):
+        # first qualifying sentence wins (src/builders/QA.py:80-84)
+        sentences = ["Paris is nice.", "Einstein lived in Paris.",
+                     "Einstein also visited Paris."]
+        assert distant_supervision("Paris", "Einstein", sentences) == \
+            "Einstein lived in Paris."
+
+    def test_distant_supervision_whole_word(self):
+        assert distant_supervision("Paris", "Einstein",
+                                   ["Einstein owns Parisian art."]) is None
+
+    def test_distant_supervision_with_relation(self):
+        sentences = ["Einstein was born in Ulm."]
+        got = distant_supervision_with_relation(
+            "Ulm", "Einstein", ["died in", "born in"], sentences)
+        assert got == ("Einstein was born in Ulm.", "born in")
+
+    def test_find_full_matches(self):
+        # src/builders/SRL.py:113-121
+        seq = ["a", "b", "c", "a", "b"]
+        assert find_full_matches(seq, ["a", "b"]) == [[0, 1], [3, 4]]
+        assert find_full_matches(seq, ["b", "a"]) == []
+        assert find_full_matches(seq, []) == []
+
+    def test_find_matches(self):
+        # src/builders/WikiReading.py:76-78
+        assert find_matches(["x", "y", "x", "z"], ["x", "z"]) == [0, 2, 3]
+
+    def test_flatten_locations(self):
+        # src/builders/SRL.py:190-201
+        pos, breaks = flatten_locations([[1, 2], [7, 8, 9]])
+        assert pos == [1, 2, 7, 8, 9]
+        assert breaks == [2]
+        pos, breaks = flatten_locations([[4, 5]])
+        assert (pos, breaks) == ([4, 5], [])
+
+
+class TestDates:
+    # goldens from reference src/test/test_date_formatter.py
+    def test_millennium_en(self):
+        assert format_date("+0000020000-01-01T00:00:00Z", 6, "en") == \
+            "21st millennium"
+        assert format_date("-00000002000-01-01T00:00:00Z", 6, "en") == \
+            "3rd millennium BC"
+
+    def test_century_en(self):
+        assert format_date("+00000001900-01-01T00:00:00Z", 7, "en") == \
+            "20th century"
+        assert format_date("-00000001900-01-01T00:00:00Z", 7, "en") == \
+            "20th century BC"
+
+    def test_year_en(self):
+        assert format_date("+00000001920-01-01T00:00:00Z", 9, "en") == "1920"
+        assert format_date("-00000001920-01-01T00:00:00Z", 9, "en") == \
+            "1920 BC"
+
+    def test_month_en(self):
+        assert format_date("+00000001920-01-00T00:00:00Z", 10, "en") == \
+            "January 1920"
+        assert format_date("-000000020-01-00T00:00:00Z", 10, "en") == \
+            "January 20 BC"
+
+    def test_day_en(self):
+        assert format_date("+00000001920-01-01T00:00:00Z", 11, "en") == \
+            "1 January 1920"
+        assert format_date("-000000020-01-01T00:00:00Z", 11, "en") == \
+            "1 January 20 BC"
+
+    def test_month_fr(self):
+        assert format_date("+00000001920-01-02T00:00:00Z", 10, "fr") == \
+            "janvier 1920"
+        assert format_date("-000000020-01-10T00:00:00Z", 10, "fr") == \
+            "janvier 20 J.-C"
+
+    def test_day_fr(self):
+        assert format_date("+00000001920-01-02T00:00:00Z", 11, "fr") == \
+            "2 janvier 1920"
+        assert format_date("-000000020-01-01T00:00:00Z", 11, "fr") == \
+            "1er janvier 20 J.-C"
+
+    def test_day_it(self):
+        assert format_date("+00000001920-01-02T00:00:00Z", 11, "it") == \
+            "2 gennaio 1920"
+        assert format_date("-000000020-01-01T00:00:00Z", 11, "it") == \
+            "1° gennaio 20 a.C."
+
+    def test_month_it(self):
+        assert format_date("+00000001920-01-01T00:00:00Z", 10, "it") == \
+            "gennaio 1920"
+        assert format_date("-000000020-01-01T00:00:00Z", 10, "it") == \
+            "gennaio 20 a.C."
+
+    def test_de(self):
+        assert format_date("+00000001920-01-01T00:00:00Z", 10, "de") == \
+            "Januar 1920"
+        assert format_date("-000000020-01-01T00:00:00Z", 10, "de") == \
+            "Januar 20 v. Chr."
+        assert format_date("+000002000-01-01T00:00:00Z", 6, "de") == \
+            "3. Jahrtausend"
+        assert format_date("-00000001000-01-01T00:00:00Z", 6, "de") == \
+            "2. Jahrtausend v. Chr."
+        assert format_date("+00000200-01-01T00:00:00Z", 7, "de") == \
+            "3. Jahrhundert"
+        assert format_date("-0000000100-01-01T00:00:00Z", 7, "de") == \
+            "2. Jahrhundert v. Chr."
+
+    def test_roman_langs(self):
+        assert format_date("+0000020000-01-01T00:00:00Z", 6, "it") == \
+            "XXI millennio"
+        assert format_date("-00000002000-01-01T00:00:00Z", 6, "it") == \
+            "III millennio a.C."
+        assert format_date("+00000001900-01-01T00:00:00Z", 7, "fr") == \
+            "XXe siècle"
+        assert format_date("-0000000800-01-01T00:00:00Z", 7, "fr") == \
+            "IXe siècle J.-C"
+        assert format_date("+00000001900-01-01T00:00:00Z", 7, "es") == \
+            "siglo XX"
+        assert format_date("-0000000801-01-01T00:00:00Z", 7, "es") == \
+            "siglo IX a. C."
+
+    def test_day_es(self):
+        assert format_date("+00000001920-01-01T00:00:00Z", 11, "es") == \
+            "1 de enero de 1920"
+        assert format_date("-000000020-01-01T00:00:00Z", 11, "es") == \
+            "1 de enero de 20 a. C."
+
+    def test_helpers(self):
+        assert ordinal(21) == "21st"
+        assert ordinal(12) == "12th"
+        assert int2roman(9) == "IX"
+        assert int2roman(21) == "XXI"
+
+
+class TestTemplates:
+    # goldens from reference src/test/test_template_fillers.py
+    def test_italian_gli(self):
+        # src/test/test_template_fillers.py:7-11
+        got = fill_template("Chi è il presidente diYYY XXX?", "Stati Uniti",
+                            lang="it", article="Gli")
+        assert got == "Chi è il presidente degli Stati Uniti?"
+
+    def test_italian_l(self):
+        # src/test/test_template_fillers.py:13-17
+        got = fill_template("Chi è il presidente diYYY XXX?", "America",
+                            lang="it", article="L")
+        assert got == "Chi è il presidente dell'America?"
+
+    def test_italian_la_in(self):
+        # src/test/test_template_fillers.py:19-23
+        got = fill_template("Chi è l'autore diYYY XXX?",
+                            "La bella e la bestia", lang="it", article="La")
+        assert got == "Chi è l'autore della bella e la bestia?"
+
+    def test_italian_gender(self):
+        # src/test/test_template_fillers.py:25-29
+        got = fill_template("Quando è statGGG lanciatGGG YYY XXX?",
+                            "Falcon 9 v1.0", lang="it", article="Il")
+        assert got == "Quando è stato lanciato il Falcon 9 v1.0?"
+
+    def test_italian_in_capital(self):
+        # src/test/test_template_fillers.py:31-34
+        got = fill_template("Quando è uscitGGG YYY XXX?", "La conversazione",
+                            lang="it", article="La")
+        assert got == "Quando è uscita La conversazione?"
+
+    def test_english_plain(self):
+        assert fill_template("Where is XXX?", "Paris", lang="en") == \
+            "Where is Paris?"
+
+    def test_french_elision(self):
+        got = fill_template("Quelle est la capitale de XXX?", "Italie",
+                            lang="fr")
+        assert got == "Quelle est la capitale d'Italie?"
+
+    def test_german_capitalization(self):
+        got = fill_template("wo liegt YYY XXX?", "Der Rhein", lang="de",
+                            article="Der")
+        assert got == "Wo liegt Der Rhein?"
+
+    def test_spanish_del(self):
+        got = fill_template("¿Cuál es la capital deYYY XXX?", "Ecuador",
+                            lang="es", article="el")
+        assert got == "¿Cuál es la capital del Ecuador?"
+
+
+class TestArticles:
+    # behavior from reference src/test/test_article_extractors.py
+    def test_italian_from_entity(self):
+        assert extract_article("", "La Scala", lang="it") == "La"
+
+    def test_italian_from_text(self):
+        text = "Fu costruito presso il Duomo di Milano nel 1386."
+        assert extract_article(text, "Duomo di Milano", lang="it") == "il"
+
+    def test_apostrophe(self):
+        assert extract_article("", "L'Aquila", lang="it") == "L"
+
+    def test_negative(self):
+        assert extract_article("Niente articoli qui.", "Roma", lang="it") == ""
+
+    def test_english_dummy(self):
+        assert extract_article("The thing.", "The thing", lang="en") == ""

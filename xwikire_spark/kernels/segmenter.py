@@ -1,0 +1,44 @@
+"""Deterministic rule-based sentence segmentation.
+
+Reference behavior: ``nltk.sent_tokenize(text.replace("\\n\\n", "\\n"),
+language=...)`` (reference src/builders/QA.py:34, src/builders/SRL.py:28).
+nltk's Punkt model is a trained, language-specific statistical model — it is
+neither deterministic across versions nor shippable to executors here, so we
+implement the same *contract* (split the paragraph-collapsed text into
+sentences on terminal punctuation / newlines) as a pure function. The pipeline
+invariant that matters downstream is per-turn text equality + first-match
+sentence selection order (src/builders/QA.py:80-84), which this preserves:
+``"".join-with-separators(segment_sentences(t)) == collapse(t)`` and sentence
+order is document order.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Sentence-terminal punctuation, mirroring the tokenizer contract's
+# SENTENCE_BREAKS (reference src/tokenizers/TokenizerI.py:3).
+_TERMINALS = ".!?…"
+
+# A boundary is terminal punct (+ optional closing quotes/brackets) followed
+# by whitespace, or any newline run.
+_BOUNDARY = re.compile(
+    r"(?<=[" + _TERMINALS + r"])[\"'\)\]]*\s+|\n+"
+)
+
+
+def collapse_paragraphs(text: str) -> str:
+    """The reference's pre-pass: text.replace("\\n\\n", "\\n")
+    (src/builders/QA.py:34)."""
+    return text.replace("\n\n", "\n")
+
+
+def segment_sentences(text: str) -> list[str]:
+    """Split ``text`` into sentences, in document order, whitespace-stripped,
+    empties dropped — matching how the reference's sentence list feeds
+    distant supervision (src/builders/QA.py:34,80)."""
+    if not text:
+        return []
+    text = collapse_paragraphs(text)
+    parts = _BOUNDARY.split(text)
+    return [p.strip() for p in parts if p and p.strip()]

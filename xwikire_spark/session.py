@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Replaces the reference's hand-rolled execution substrate
+(multiprocessing.Pool(NUM_WORKERS) + Mongo chunk cursors,
+reference src/config.py:8-9, src/qa.py:30, src/srl.py:40) with Spark's task
+scheduler. Every knob here exists to keep the 100 TB plan healthy:
+
+- AQE on (coalesce + skew-join splitting) — the reference has no skew story;
+  hot entities (P31-style) are our analog and AQE + salting handle them.
+- Arrow on with a bounded batch size — all Python kernels run as vectorized
+  pandas UDFs (BASELINE.json input_hint mandates no per-row Python).
+- UTC session timezone — deterministic timestamps across executors/oracles.
+- shuffle partitions default to 2x cores locally; on a real cluster this is
+  overridden via spark-submit --conf (AQE coalesces the excess anyway).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "xwikire_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-ready defaults."""
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or max(DEFAULT_CPUS, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
