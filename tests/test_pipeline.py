@@ -1,0 +1,196 @@
+"""End-to-end pipeline tests: Spark output vs the pure-Python oracle
+(reference semantics), planted-fact recall, per-turn text equality,
+canonicalization, and manifest resume."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from oracle.reference_impl import extract_triples_oracle, precision_recall
+from xwikire_spark import datagen
+from xwikire_spark.functions.udfs import tokenize_udf
+from xwikire_spark.kernels.tokenizer import rebuild_text
+from xwikire_spark.pipeline.canonicalize import (
+    canonical_entity_map,
+    canonicalize_triples,
+)
+from xwikire_spark.pipeline.extraction import (
+    extract_triples,
+    pair_mentions_in_window,
+    detect_mentions,
+    segment_turns,
+)
+from xwikire_spark.pipeline.manifests import pending_buckets, run_with_manifests
+
+TRIPLE_KEY = ["conv_id", "subj", "pred", "obj", "turn_idx", "sent_idx",
+              "evidence", "id"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows, planted = datagen.generate_transcripts(n_convs=40, turns_per_conv=10)
+    transcripts = spark.createDataFrame(pd.DataFrame(rows))
+    alias_df = spark.createDataFrame(pd.DataFrame(datagen.alias_rows()))
+    pred_df = spark.createDataFrame(pd.DataFrame(datagen.predicate_rows()))
+    return rows, planted, transcripts, alias_df, pred_df
+
+
+def _oracle(rows):
+    alias_pairs = [(a, e) for a, e, _, _ in datagen.ALIASES]
+    pred_surfaces = []
+    for pid, label, aliases in datagen.PREDICATES:
+        pred_surfaces.append((label, pid))
+        pred_surfaces.extend((a, pid) for a in aliases)
+    return extract_triples_oracle(rows, alias_pairs, pred_surfaces)
+
+
+class TestExtraction:
+    def test_matches_oracle_exactly(self, spark, corpus):
+        rows, _, transcripts, alias_df, pred_df = corpus
+        got = extract_triples(transcripts, alias_df, pred_df).select(
+            *TRIPLE_KEY).collect()
+        want = _oracle(rows)
+
+        got_set = {tuple(r[k] for k in TRIPLE_KEY) for r in got}
+        want_set = {tuple(w[k] for k in TRIPLE_KEY) for w in want}
+        p, r = precision_recall(got_set, want_set)
+        # BASELINE target is P/R >= 0.95; same-semantics construction gives 1.0
+        assert p == 1.0 and r == 1.0, (
+            f"P={p:.3f} R={r:.3f}; spark-only={list(got_set - want_set)[:3]} "
+            f"oracle-only={list(want_set - got_set)[:3]}"
+        )
+
+    def test_planted_facts_covered(self, corpus):
+        """Every planted fact the reference's own distant-supervision test
+        (\\b co-occurrence, src/builders/QA.py:76-84) would accept must be
+        covered. Aliases ending in combining marks (Kannada) legitimately
+        fail \\b at a punctuation boundary — in the reference too — and are
+        excluded by using the same kernel as the gate."""
+        from xwikire_spark.kernels.matching import distant_supervision
+        from xwikire_spark.kernels.segmenter import segment_sentences
+
+        rows, planted, *_ = corpus
+        texts = {(r["conv_id"], r["turn_idx"]): r["text"] for r in rows}
+        want = _oracle(rows)
+        by_conv_pid = {(w["conv_id"], w["pred"]) for w in want}
+
+        coverable = [
+            f for f in planted
+            if distant_supervision(
+                f.obj_alias, f.subj_alias,
+                segment_sentences(texts[(f.conv_id, f.turn_idx)]),
+            )
+        ]
+        # ~11% of planted facts use the Kannada alias whose final combining
+        # mark defeats \b (reference-parity); the rest must be coverable.
+        assert len(coverable) / len(planted) > 0.85  # generator health
+        missed = [f for f in coverable
+                  if (f.conv_id, f.pid) not in by_conv_pid]
+        assert not missed, missed[:5]
+
+    def test_triple_id_is_reference_sha1(self, spark, corpus):
+        import hashlib
+
+        _, _, transcripts, alias_df, pred_df = corpus
+        row = extract_triples(transcripts, alias_df, pred_df).first()
+        expected = hashlib.sha1(
+            f"{row.subj} {row.pred} {row.obj}".encode()
+        ).hexdigest()
+        assert row.id == expected
+
+    def test_per_turn_text_equality(self, spark, corpus):
+        # input_hint invariant: tokenization must preserve each turn's text
+        _, _, transcripts, _, _ = corpus
+        t = transcripts.withColumn("tk", tokenize_udf("text"))
+        bad = 0
+        for r in t.select("text", "tk.tokens", "tk.breaks").collect():
+            if rebuild_text(r.tokens, r.breaks) != r.text:
+                bad += 1
+        assert bad == 0
+
+    def test_window_pairing(self, spark, corpus):
+        _, _, transcripts, alias_df, _ = corpus
+        mentions = detect_mentions(segment_turns(transcripts), alias_df)
+        pairs = pair_mentions_in_window(mentions, max_turn_distance=2)
+        rows = pairs.collect()
+        assert rows, "expected co-occurrence pairs"
+        for r in rows:
+            assert 0 <= r.turn_b - r.turn_a <= 2
+            assert r.entity_a != r.entity_b
+        # canonical ordering => no (a,b)+(b,a) duplicates at same turns
+        seen = {(r.conv_id, r.entity_a, r.entity_b, r.turn_a, r.turn_b)
+                for r in rows}
+        assert len(seen) == len(rows)
+
+
+class TestCanonicalization:
+    def test_collision_merged(self, spark, corpus):
+        *_, alias_df, _ = corpus
+        m = {r.entity_id: r.canonical_id
+             for r in canonical_entity_map(alias_df).collect()}
+        # "Paris" maps to both Q4 and Q9 -> one component, min id wins
+        assert m["Q4"] == m["Q9"] == "Q4"
+        # unrelated entities stay themselves
+        assert m["Q1"] == "Q1" and m["Q2"] == "Q2"
+
+    def test_triples_rewritten(self, spark, corpus):
+        _, _, transcripts, alias_df, pred_df = corpus
+        t = extract_triples(transcripts, alias_df, pred_df)
+        c = canonicalize_triples(t, alias_df)
+        assert c.where(F.col("subj") == "Q9").count() == 0
+        assert c.where(F.col("obj") == "Q9").count() == 0
+        # ids re-keyed consistently
+        row = c.first()
+        import hashlib
+
+        assert row.id == hashlib.sha1(
+            f"{row.subj} {row.pred} {row.obj}".encode()
+        ).hexdigest()
+
+
+class TestManifests:
+    def test_resume_skips_done_buckets(self, spark, corpus, tmp_path):
+        _, _, transcripts, alias_df, pred_df = corpus
+        out = str(tmp_path / "kg")
+        n_buckets = 4
+
+        def build(df):
+            return extract_triples(df, alias_df, pred_df)
+
+        full = run_with_manifests(spark, transcripts, build, out, n_buckets)
+        n1 = full.count()
+        assert n1 > 0
+        # second run: nothing pending, output unchanged
+        assert pending_buckets(spark, transcripts, out, n_buckets) == []
+        again = run_with_manifests(spark, transcripts, build, out, n_buckets)
+        assert again.count() == n1
+
+    def test_input_drift_reprocesses_only_changed_bucket(
+        self, spark, corpus, tmp_path
+    ):
+        rows, _, transcripts, alias_df, pred_df = corpus
+        out = str(tmp_path / "kg2")
+        n_buckets = 4
+
+        def build(df):
+            return extract_triples(df, alias_df, pred_df)
+
+        run_with_manifests(spark, transcripts, build, out, n_buckets)
+        # mutate one conversation's text -> exactly its bucket pending
+        drifted = transcripts.withColumn(
+            "text",
+            F.when(
+                F.col("conv_id") == "conv-00000",
+                F.concat(F.col("text"), F.lit(" Einstein married Curie.")),
+            ).otherwise(F.col("text")),
+        )
+        todo = pending_buckets(spark, drifted, out, n_buckets)
+        assert len(todo) == 1
+        merged = run_with_manifests(spark, drifted, build, out, n_buckets)
+        # result equals a from-scratch run on the drifted input
+        fresh = extract_triples(drifted, alias_df, pred_df)
+        got = {tuple(r) for r in
+               merged.select("conv_id", "subj", "pred", "obj").collect()}
+        want = {tuple(r) for r in
+                fresh.select("conv_id", "subj", "pred", "obj").collect()}
+        assert got == want

@@ -1,0 +1,185 @@
+"""Vectorized pandas UDFs wrapping the pure kernels.
+
+Design rules (BASELINE.json input_hint: "no per-row Python"):
+- every UDF here is Arrow-batched (`pandas_udf`) — rows cross the
+  JVM<->Python boundary in columnar batches, not one at a time;
+- dictionary-dependent UDFs (mention/predicate detection) are *scalar
+  iterator* UDFs: the matcher automaton is compiled once per executor task
+  from the closure-captured dictionary, then reused across all Arrow batches
+  — the Spark analog of the reference's process-lifetime ``_prop_cache``
+  (src/builders/MergedWikis.py:28,37-41);
+- heavy outputs are struct/array columns so downstream stays relational
+  (posexplode, joins) instead of Python.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from xwikire_spark.kernels.dates import format_date
+from xwikire_spark.kernels.segmenter import segment_sentences
+from xwikire_spark.kernels.templates import fill_template
+from xwikire_spark.kernels.articles import extract_article
+from xwikire_spark.kernels.tokenizer import tokenize_with_breaks
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation (X7): text -> array<string> of sentences.
+# Reference: nltk.sent_tokenize per doc (src/builders/QA.py:34).
+# ---------------------------------------------------------------------------
+
+segment_udf = F.pandas_udf(
+    lambda s: s.map(lambda t: segment_sentences(t or "")),
+    ArrayType(StringType()),
+)
+
+# ---------------------------------------------------------------------------
+# Tokenization with break levels (X8): text -> struct<tokens, breaks>.
+# Reference: sling-style contract (src/tokenizers/sling_tokenizer.py:8-13).
+# ---------------------------------------------------------------------------
+
+TOKENS_SCHEMA = StructType(
+    [
+        StructField("tokens", ArrayType(StringType())),
+        StructField("breaks", ArrayType(IntegerType())),
+    ]
+)
+
+
+@F.pandas_udf(TOKENS_SCHEMA)
+def tokenize_udf(texts: pd.Series) -> pd.DataFrame:
+    toks, brks = [], []
+    for t in texts:
+        tk, bk = tokenize_with_breaks(t or "")
+        toks.append(tk)
+        brks.append(bk)
+    return pd.DataFrame({"tokens": toks, "breaks": brks})
+
+
+# ---------------------------------------------------------------------------
+# Dictionary mention detection (X4 generalized): longest whole-word match of
+# any dictionary surface, all occurrences, left to right.
+# The reference scans one entity label + one value per fact
+# (src/builders/QA.py:76-84); entity linking over transcripts needs the
+# full-dictionary variant. Alternation sorted by length desc gives
+# leftmost-longest: at equal start offsets the longer surface is listed
+# first, and finditer consumes the match (no overlaps).
+# ---------------------------------------------------------------------------
+
+MENTIONS_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("surface", StringType()),
+            StructField("matched_id", StringType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+        ]
+    )
+)
+
+
+def _compile_dictionary(surfaces: list[tuple[str, str]]):
+    """Build (regex, surface->id map) from (surface, id) pairs. Longest
+    surface first so alternation is leftmost-longest. Case-sensitive like the
+    reference's matching (src/builders/QA.py:78-81)."""
+    by_len = sorted({s for s, _ in surfaces if s}, key=len, reverse=True)
+    if not by_len:
+        return None, {}
+    pattern = re.compile(
+        r"\b(?:" + "|".join(re.escape(s) for s in by_len) + r")\b"
+    )
+    ids: dict[str, str] = {}
+    for s, i in surfaces:
+        ids.setdefault(s, i)
+    return pattern, ids
+
+
+def make_mention_udf(surfaces: list[tuple[str, str]]):
+    """Scalar-iterator pandas UDF: sentence -> array of dictionary mentions.
+
+    ``surfaces`` is the collected (surface, id) dimension — small enough to
+    ship in the closure (the reference's whole property dictionary fits in a
+    process dict, src/builders/MergedWikis.py:28). For dictionaries too large
+    to broadcast, use the join-based token path in
+    ``xwikire_spark.pipeline.extraction`` instead.
+    """
+
+    @F.pandas_udf(MENTIONS_SCHEMA)
+    def mention_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pattern, ids = _compile_dictionary(surfaces)
+        for texts in batches:
+            out = []
+            for t in texts:
+                if not t or pattern is None:
+                    out.append([])
+                    continue
+                ms = [
+                    {
+                        "surface": m.group(),
+                        "matched_id": ids[m.group()],
+                        "start": m.start(),
+                        "end": m.end(),
+                    }
+                    for m in pattern.finditer(t)
+                ]
+                out.append(ms)
+            yield pd.Series(out)
+
+    return mention_udf
+
+
+# ---------------------------------------------------------------------------
+# Date formatting (X11), template filling (X14), article extraction (X15):
+# plain scalar pandas UDFs over the pure kernels.
+# ---------------------------------------------------------------------------
+
+
+def make_format_date_udf(lang: str = "en"):
+    @F.pandas_udf(StringType())
+    def date_udf(raw_time: pd.Series, precision: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                format_date(t or "", int(p) if pd.notna(p) else 9, lang)
+                for t, p in zip(raw_time, precision)
+            ]
+        )
+
+    return date_udf
+
+
+def make_fill_template_udf(lang: str = "en"):
+    @F.pandas_udf(StringType())
+    def template_udf(
+        template: pd.Series, entity: pd.Series, article: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                fill_template(t or "", e or "", lang=lang, article=a or "")
+                for t, e, a in zip(template, entity, article)
+            ]
+        )
+
+    return template_udf
+
+
+def make_extract_article_udf(lang: str = "en"):
+    @F.pandas_udf(StringType())
+    def article_udf(text: pd.Series, entity: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                extract_article(t or "", e or "", lang=lang)
+                for t, e in zip(text, entity)
+            ]
+        )
+
+    return article_udf

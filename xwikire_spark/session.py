@@ -33,6 +33,18 @@ def get_spark(
     master = master or f"local[{DEFAULT_CPUS}]"
     shuffle_partitions = shuffle_partitions or max(DEFAULT_CPUS, 32)
 
+    # Executor Python workers must import this package: the driver's
+    # sys.path does NOT propagate to them. Locally PYTHONPATH (inherited by
+    # the JVM -> workers) covers it; on a cluster use spark-submit
+    # --py-files xwikire_spark.zip (the reference ships code to its Pool
+    # workers implicitly by fork — Spark needs it explicit).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -45,6 +57,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
