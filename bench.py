@@ -1,0 +1,114 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {name: sec},
+"sf", ...extras}.
+
+Extras reported alongside the contract fields:
+- triples_per_sec: flagship KG extraction throughput (triples emitted /
+  extraction wall seconds) — the BASELINE.json headline metric;
+- rows: per-query output row counts (sanity that work actually happened).
+
+Set SPARK_GRAFT_SCALING=1 to additionally run the flagship at local[8] and
+local[32] and report scaling efficiency (N vs 4N executors stand-in; see
+BENCH/BASELINE.md for the recorded protocol runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from xwikire_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "kg_triples",
+    "a1_partial_final_agg",
+    "j1_equi_join",
+    "j2_broadcast_dim",
+    "j5_theta_self_join",
+    "a2_vocab",
+    "evt_tumbling_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_jaccard",
+    "ann_topk_cosine",
+    "txt_quality",
+    "txt_fingerprint",
+]
+
+
+def _run_once(spark, name: str, fn) -> tuple[float, int]:
+    t0 = time.time()
+    n = fn(spark, SF_DIR).count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    qs = entry_mod.queries()
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        sec, n = _run_once(spark, name, qs[name])
+        timings[name] = round(sec, 3)
+        rows[name] = n
+
+    # flagship throughput: triples/sec on a timed re-run (warm JVM)
+    t0 = time.time()
+    n_triples = qs["kg_triples"](spark, SF_DIR).count()
+    kg_sec = time.time() - t0
+    triples_per_sec = round(n_triples / kg_sec, 1) if kg_sec > 0 else 0.0
+
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "rows": rows,
+        "triples_per_sec": triples_per_sec,
+        "n_triples": n_triples,
+        "cpus": CPUS,
+    }
+    spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scale = {}
+        for cores in (8, 32):
+            s = get_spark(f"bench-{cores}", master=f"local[{cores}]",
+                          shuffle_partitions=max(cores, 8))
+            s.sparkContext.setLogLevel("ERROR")
+            qs2 = entry_mod.queries()
+            # warm-up pass (JIT/codegen), then timed pass
+            qs2["kg_triples"](s, SF_DIR).count()
+            t0 = time.time()
+            n = qs2["kg_triples"](s, SF_DIR).count()
+            dt = time.time() - t0
+            scale[f"local[{cores}]"] = {
+                "sec": round(dt, 3),
+                "triples_per_sec": round(n / dt, 1),
+            }
+            s.stop()
+        eff = (
+            scale["local[32]"]["triples_per_sec"]
+            / scale["local[8]"]["triples_per_sec"]
+        ) / 4.0
+        result["scaling"] = scale
+        result["scaling_efficiency_8_to_32"] = round(eff, 3)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

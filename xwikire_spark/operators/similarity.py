@@ -1,0 +1,195 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — exact, O(|Q| x |C|); correct for
+moderate query sets and the verification oracle for the approximate path.
+Scale path: LSH-bucketed ANN (random-hyperplane signatures, deterministic
+seeds) — candidates come from an equi-join on bucket signature, so the
+shuffle is O(collisions), not O(n²); IVF-style coarse quantization is the
+same shape with learned centroids.
+
+All math is JVM-side (zip_with / aggregate higher-order functions) — no
+Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: query_id, neighbor_id, rank (1-based). Self-matches excluded.
+    The corpus side is broadcast when it fits (typical: queries huge,
+    centroid/candidate set small); here queries are the small side so we
+    broadcast them instead — either way the big table never shuffles.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def random_hyperplane_signature(
+    vectors: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-of-projection LSH signature (SimHash for vectors).
+
+    Hyperplanes are derived deterministically from (seed, plane, dim) via a
+    splitmix-style integer hash mapped to [-1, 1] — identical across
+    executors and runs with zero data movement.
+    Output: vec_id, bucket (long).
+    """
+
+    def _plane_component(p: int, d: int) -> float:
+        # deterministic pseudo-random in [-1, 1] (splitmix64-ish, pure int)
+        x = (seed * 0x9E3779B97F4A7C15 + p * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) % (2**64)
+        x ^= x >> 31
+        x = (x * 0xD6E8FEB86659FD93) % (2**64)
+        return ((x % 2_000_001) / 1_000_000.0) - 1.0
+
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
+        proj = _dot(v, plane)
+        bits.append(
+            F.when(proj >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    bucket = bits[0]
+    for p in range(1, n_planes):
+        bucket = bucket + F.shiftleft(bits[p], p)
+    return vectors.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def _banded_signatures(
+    vectors: DataFrame,
+    n_bands: int,
+    planes_per_band: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+) -> DataFrame:
+    """Multi-table LSH: n_bands independent signatures of planes_per_band
+    bits each (seed varies per band). A pair is a candidate if it collides
+    on ANY band — recall grows with bands, candidate volume stays a join."""
+    out = None
+    for band in range(n_bands):
+        sig = random_hyperplane_signature(
+            vectors, planes_per_band, dim, seed=17 + band,
+            id_col=id_col, vec_col=vec_col,
+        ).select(
+            F.col("vec_id").alias(out_id),
+            F.lit(band).alias("band"),
+            F.col("bucket"),
+        )
+        out = sig if out is None else out.unionByName(sig)
+    return out
+
+
+def ann_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_bands: int = 4,
+    planes_per_band: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share any LSH band bucket, then exact
+    cosine rank within candidates. Output: query_id, neighbor_id, rank."""
+    qs = _banded_signatures(
+        queries, n_bands, planes_per_band, dim, id_col, vec_col, "query_id"
+    )
+    cs = _banded_signatures(
+        corpus, n_bands, planes_per_band, dim, id_col, vec_col, "neighbor_id"
+    )
+    cand = (
+        qs.join(cs, ["band", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

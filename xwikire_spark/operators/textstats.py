@@ -1,0 +1,124 @@
+"""Text analysis operators: token counts, quality scoring, language id,
+document fingerprinting. All JVM-side except language id (pandas UDF over
+n-gram profiles).
+
+Reference analogs: context_size.py (mean token count, A4), vocabs.py
+(frequency vocab, A2); the rest are the training-data-pipeline extensions
+the 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+
+# BPE-ish token estimate: letter runs, digit runs, or single symbols —
+# approximates subword counts without a tokenizer model. ASCII-literal class
+# (no \d/\s escapes) so the same pattern string survives Spark SQL literal
+# parsing and DuckDB regexps identically.
+BPEISH_PATTERN = "[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts per document (JVM regex)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all({text_col}, '{BPEISH_PATTERN}', 0)")
+        ).alias("bpeish_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, distinct-token ratio, stopword
+    ratio, mean word length, punctuation ratio. Deterministic, rounded for
+    cross-engine comparison."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    total_wlen = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^\.,;:!?]", ""))
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(F.size(F.array_distinct(words)) / n, 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(n_stop / n, 6).alias("stopword_ratio"),
+        F.round(total_wlen / n, 6).alias("mean_word_len"),
+        F.round(n_punct / F.length(F.col(text_col)), 6).alias("punct_ratio"),
+    )
+
+
+def fingerprint_min_shingle(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Winnowing-lite fingerprint: min md5 over k-word shingles — a stable
+    content fingerprint robust to suffix edits. SQL-expressible (oracle in
+    __spark_entry__)."""
+    words = F.split(F.col(text_col), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+# --- language id: character-n-gram profiles, vectorized pandas UDF --------
+
+_LANG_PROFILES = {
+    # tiny marker profiles; a real deployment broadcasts trained profiles.
+    "en": ["th", "he", "in", "er", "an", "the "],
+    "fr": ["le", "es", "de", "en", "é", " le "],
+    "de": ["en", "er", "ch", "de", "ü", " der "],
+    "es": ["de", "la", "os", "ón", "ñ", " el "],
+    "zh": ["的", "是", "不", "了", "在", "我"],
+    "kn": ["ಕ", "ನ", "ಡ", "ದ", "ರ", "ವ"],
+}
+
+
+def make_langid_udf():
+    """text -> predicted language code (pandas UDF; n-gram hit scoring with
+    length-weighted markers; deterministic ties by lang code)."""
+
+    @F.pandas_udf(StringType())
+    def langid(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = (t or "").lower()
+            best_lang, best_score = "und", 0.0
+            for lang in sorted(_LANG_PROFILES):
+                score = sum(
+                    t.count(m) * math.sqrt(len(m))
+                    for m in _LANG_PROFILES[lang]
+                )
+                if score > best_score:
+                    best_lang, best_score = lang, score
+            out.append(best_lang)
+        return pd.Series(out)
+
+    return langid
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "doc_id", make_langid_udf()(F.col(text_col)).alias("pred_lang")
+    )
