@@ -84,28 +84,39 @@ def main() -> None:
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # Two-cluster-size protocol (BASELINE.md): the SAME job and input at
+        # local[4] and local[16] (N vs 4N executors stand-in — no real
+        # cluster in this sandbox; 4/16 stays clear of this box's all-core
+        # turbo dropoff, measured in BENCH/BASELINE.md). Each measurement is
+        # a FRESH OS process (scripts/scale_probe.py): stacking sessions in
+        # one driver JVM degrades later runs by >2x (leaked python daemons,
+        # heap fragmentation).
+        import json as _json
+        import subprocess
+
+        repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "3000"))
+        here = os.path.dirname(os.path.abspath(__file__))
         scale = {}
-        for cores in (8, 32):
-            s = get_spark(f"bench-{cores}", master=f"local[{cores}]",
-                          shuffle_partitions=max(cores, 8))
-            s.sparkContext.setLogLevel("ERROR")
-            qs2 = entry_mod.queries()
-            # warm-up pass (JIT/codegen), then timed pass
-            qs2["kg_triples"](s, SF_DIR).count()
-            t0 = time.time()
-            n = qs2["kg_triples"](s, SF_DIR).count()
-            dt = time.time() - t0
+        for cores in (4, 16):
+            out = subprocess.run(
+                [sys.executable, os.path.join(here, "scripts/scale_probe.py"),
+                 str(cores), str(repl)],
+                capture_output=True, text=True, check=True,
+                env={**os.environ, "SPARK_DRIVER_MEM": "24g"},
+            ).stdout.strip().splitlines()[-1]
+            r = _json.loads(out)
             scale[f"local[{cores}]"] = {
-                "sec": round(dt, 3),
-                "triples_per_sec": round(n / dt, 1),
+                "sec": r["sec"],
+                "triples_per_sec": r["tps"],
+                "n_triples": r["n_triples"],
             }
-            s.stop()
         eff = (
-            scale["local[32]"]["triples_per_sec"]
-            / scale["local[8]"]["triples_per_sec"]
+            scale["local[16]"]["triples_per_sec"]
+            / scale["local[4]"]["triples_per_sec"]
         ) / 4.0
         result["scaling"] = scale
-        result["scaling_efficiency_8_to_32"] = round(eff, 3)
+        result["scaling_efficiency_4_to_16"] = round(eff, 3)
+        result["scaling_input_replication"] = repl
 
     print(json.dumps(result))
 

@@ -1,0 +1,91 @@
+"""One scaling measurement in a fresh process: python scripts/scale_probe.py
+<cores> <repl> [job]  -> prints JSON {cores, repl, sec, n, tps}.
+
+job: "pipeline" (default) = full pandas-UDF extraction over replicated
+synthetic transcripts; "kglite" = JVM-only flagship over replicated sf0.1
+documents-derived turns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from xwikire_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    repl = int(sys.argv[2])
+    job = sys.argv[3] if len(sys.argv) > 3 else "pipeline"
+
+    s = get_spark(
+        f"scale-{job}-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores * 2,
+        extra_conf={"spark.local.dir": "/dev/shm/spark-tmp"},
+    )
+    s.sparkContext.setLogLevel("ERROR")
+
+    if job == "pipeline":
+        from xwikire_spark import datagen
+        from xwikire_spark.pipeline.extraction import extract_triples
+
+        rows, _ = datagen.generate_transcripts(n_convs=400, turns_per_conv=12)
+        t = s.createDataFrame(pd.DataFrame(rows))
+        big = (
+            s.range(repl)
+            .crossJoin(F.broadcast(t))
+            .select(
+                F.concat_ws("-", "conv_id", "id").alias("conv_id"),
+                "turn_idx", "role", "text", "tool", "ts",
+            )
+        )
+        al = s.createDataFrame(pd.DataFrame(datagen.alias_rows()))
+        pr = s.createDataFrame(pd.DataFrame(datagen.predicate_rows()))
+
+        def run():
+            # no input repartition: mapInPandas consumes range partitions
+            # directly; the only shuffle is the first-evidence aggregate.
+            return extract_triples(big, al, pr).count()
+
+        n_units = repl * 4800
+    else:
+        import __spark_entry__ as e
+
+        turns = e.kg_turns_df(s, os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        big = (
+            s.range(repl)
+            .crossJoin(F.broadcast(turns))
+            .select(
+                F.concat_ws("-", "conv_id", "id").alias("conv_id"),
+                "turn_idx", "text",
+            )
+        )
+
+        def run():
+            return e.kg_triples_from_turns(big).count()
+
+        n_units = None
+
+    run()  # warm-up: codegen + python workers
+    t0 = time.time()
+    n = run()
+    dt = time.time() - t0
+    print(json.dumps({
+        "job": job, "cores": cores, "repl": repl, "sec": round(dt, 3),
+        "n_triples": n, "tps": round(n / dt, 1), "turns": n_units,
+    }))
+    s.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -76,12 +76,15 @@ def tokenize_udf(texts: pd.Series) -> pd.DataFrame:
 # first, and finditer consumes the match (no overlaps).
 # ---------------------------------------------------------------------------
 
+# Field order is the sort order: array_sort over this struct orders by
+# (start, matched_id) — earliest-match-then-id, the reference's first-match
+# determinism (src/builders/QA.py:80-84) without a window.
 MENTIONS_SCHEMA = ArrayType(
     StructType(
         [
-            StructField("surface", StringType()),
-            StructField("matched_id", StringType()),
             StructField("start", IntegerType()),
+            StructField("matched_id", StringType()),
+            StructField("surface", StringType()),
             StructField("end", IntegerType()),
         ]
     )
@@ -89,18 +92,21 @@ MENTIONS_SCHEMA = ArrayType(
 
 
 def _compile_dictionary(surfaces: list[tuple[str, str]]):
-    """Build (regex, surface->id map) from (surface, id) pairs. Longest
-    surface first so alternation is leftmost-longest. Case-sensitive like the
-    reference's matching (src/builders/QA.py:78-81)."""
+    """Build (regex, surface -> [ids]) from (surface, id) pairs. Longest
+    surface first so alternation is leftmost-longest. Case-sensitive like
+    the reference's matching (src/builders/QA.py:78-81). A surface mapping
+    to several ids (alias collision) emits one mention per id."""
     by_len = sorted({s for s, _ in surfaces if s}, key=len, reverse=True)
     if not by_len:
         return None, {}
     pattern = re.compile(
         r"\b(?:" + "|".join(re.escape(s) for s in by_len) + r")\b"
     )
-    ids: dict[str, str] = {}
+    ids: dict[str, list[str]] = {}
     for s, i in surfaces:
-        ids.setdefault(s, i)
+        bucket = ids.setdefault(s, [])
+        if i not in bucket:
+            bucket.append(i)
     return pattern, ids
 
 
@@ -109,9 +115,11 @@ def make_mention_udf(surfaces: list[tuple[str, str]]):
 
     ``surfaces`` is the collected (surface, id) dimension — small enough to
     ship in the closure (the reference's whole property dictionary fits in a
-    process dict, src/builders/MergedWikis.py:28). For dictionaries too large
-    to broadcast, use the join-based token path in
-    ``xwikire_spark.pipeline.extraction`` instead.
+    process dict, src/builders/MergedWikis.py:28); the automaton compiles
+    once per task and is reused across Arrow batches. Id resolution happens
+    here too (one struct per id on collisions) so the pipeline needs no
+    resolution join. For dictionaries too large to broadcast, fall back to a
+    join-based token path.
     """
 
     @F.pandas_udf(MENTIONS_SCHEMA)
@@ -125,12 +133,13 @@ def make_mention_udf(surfaces: list[tuple[str, str]]):
                     continue
                 ms = [
                     {
-                        "surface": m.group(),
-                        "matched_id": ids[m.group()],
                         "start": m.start(),
+                        "matched_id": i,
+                        "surface": m.group(),
                         "end": m.end(),
                     }
                     for m in pattern.finditer(t)
+                    for i in ids[m.group()]
                 ]
                 out.append(ms)
             yield pd.Series(out)

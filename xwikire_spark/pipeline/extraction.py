@@ -28,7 +28,7 @@ Scale notes (100 TB plan):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xwikire_spark.functions.ids import triple_id
@@ -54,23 +54,36 @@ def segment_turns(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def _dictionary_pairs(dim: DataFrame, surface_col: str) -> list[tuple[str, str]]:
-    """Collect a dictionary dimension to (surface, surface) pairs for the
-    matcher closure. Ids are resolved by a broadcast join afterwards so
-    alias collisions (one surface, many entities) survive."""
-    rows = dim.select(surface_col).distinct().collect()
-    return [(r[0], r[0]) for r in rows if r[0]]
+def _alias_surface_ids(alias_dict: DataFrame) -> list[tuple[str, str]]:
+    """(alias, entity_id) pairs — collisions preserved (one pair per id)."""
+    return [
+        (r["alias"], r["entity_id"])
+        for r in alias_dict.select("alias", "entity_id").distinct().collect()
+        if r["alias"]
+    ]
+
+
+def _predicate_surface_ids(predicate_dict: DataFrame) -> list[tuple[str, str]]:
+    """(surface, pid) pairs over label + aliases (src/builders/SRL.py:36-39)."""
+    rows = predicate_dict.select("pid", "label", "aliases").collect()
+    out: list[tuple[str, str]] = []
+    for r in rows:
+        if r["label"]:
+            out.append((r["label"], r["pid"]))
+        for a in r["aliases"] or []:
+            out.append((a, r["pid"]))
+    return out
 
 
 def detect_mentions(sentences: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """Attach entity mentions: longest whole-word dictionary match (X4
-    generalized), ids resolved via broadcast join (J2 analog).
+    generalized). Ids resolve inside the broadcast automaton (collisions
+    emit one mention per entity) — no resolution join, no extra scan.
 
     Output adds: surface, entity_id, m_start, m_end (one row per mention).
     """
-    surfaces = _dictionary_pairs(alias_dict, "alias")
-    udf = make_mention_udf(surfaces)
-    hits = (
+    udf = make_mention_udf(_alias_surface_ids(alias_dict))
+    return (
         sentences.withColumn("mentions", udf(F.col("sentence")))
         .where(F.size("mentions") > 0)
         .select(
@@ -80,14 +93,10 @@ def detect_mentions(sentences: DataFrame, alias_dict: DataFrame) -> DataFrame:
         .select(
             "conv_id", "turn_idx", "role", "ts", "sent_idx", "sentence",
             F.col("m.surface").alias("surface"),
+            F.col("m.matched_id").alias("entity_id"),
             F.col("m.start").alias("m_start"),
             F.col("m.end").alias("m_end"),
         )
-    )
-    return hits.join(
-        F.broadcast(alias_dict.select(F.col("alias").alias("surface"),
-                                      "entity_id")),
-        "surface",
     )
 
 
@@ -95,15 +104,8 @@ def detect_predicates(sentences: DataFrame, predicate_dict: DataFrame) -> DataFr
     """Attach predicate-surface matches (label + aliases,
     src/builders/SRL.py:36-39). Output: one row per predicate hit with
     pid, p_surface, p_start."""
-    surf = predicate_dict.select(
-        F.explode(
-            F.array_union(F.array(F.col("label")), F.col("aliases"))
-        ).alias("p_surface"),
-        F.col("pid"),
-    )
-    surfaces = _dictionary_pairs(surf, "p_surface")
-    udf = make_mention_udf(surfaces)
-    hits = (
+    udf = make_mention_udf(_predicate_surface_ids(predicate_dict))
+    return (
         sentences.withColumn("pm", udf(F.col("sentence")))
         .where(F.size("pm") > 0)
         .select(
@@ -113,10 +115,97 @@ def detect_predicates(sentences: DataFrame, predicate_dict: DataFrame) -> DataFr
         .select(
             "conv_id", "turn_idx", "sent_idx",
             F.col("p.surface").alias("p_surface"),
+            F.col("p.matched_id").alias("pid"),
             F.col("p.start").alias("p_start"),
         )
     )
-    return hits.join(F.broadcast(surf), "p_surface")
+
+
+CANDIDATE_SCHEMA = (
+    "conv_id string, turn_idx int, sent_idx int, sentence string, "
+    "subj string, subj_surface string, pid string, p_surface string, "
+    "obj string, obj_surface string, obj_start int"
+)
+
+
+def make_candidate_generator(
+    alias_pairs: list[tuple[str, str]],
+    pred_pairs: list[tuple[str, str]],
+):
+    """Fused mapInPandas kernel: segment + both dictionary automatons +
+    candidate emission in ONE Python pass per Arrow batch.
+
+    Why fused: three chained pandas UDFs (segment, mentions, predicates)
+    cost three Arrow round-trips and nested array<struct> construction —
+    measured ~5x the raw kernel time. This generator runs the same pure
+    kernels once per sentence and emits flat candidate columns; everything
+    relational (first-evidence dedup, ids) stays in Spark.
+
+    Semantics (identical to the oracle): earliest mention = subject, ties by
+    entity id (src/builders/QA.py:80-84 first-match determinism); earliest
+    predicate surface, ties by pid; every other-entity mention is an object.
+    """
+    from xwikire_spark.functions.udfs import _compile_dictionary
+
+    def generate(batches):
+        import pandas as pd
+
+        from xwikire_spark.kernels.segmenter import segment_sentences
+
+        ap, aids = _compile_dictionary(alias_pairs)
+        pp, pids = _compile_dictionary(pred_pairs)
+        cols = ("conv_id", "turn_idx", "sent_idx", "sentence", "subj",
+                "subj_surface", "pid", "p_surface", "obj", "obj_surface",
+                "obj_start")
+        for pdf in batches:
+            # batch-local first-evidence dedup: min_by is associative, so
+            # keeping only each key's batch winner is safe and cuts the
+            # shuffled candidate volume roughly in half; Spark's min_by
+            # aggregate finishes the cross-batch/cross-partition merge.
+            best: dict = {}
+            for conv, turn, text in zip(
+                pdf["conv_id"].values, pdf["turn_idx"].values,
+                pdf["text"].values,
+            ):
+                text = (text or "").strip()
+                if not text or ap is None or pp is None:
+                    continue
+                for sent_idx, sent in enumerate(segment_sentences(text)):
+                    ms = [
+                        (m.start(), i, m.group())
+                        for m in ap.finditer(sent)
+                        for i in aids[m.group()]
+                    ]
+                    if len(ms) < 2:
+                        continue
+                    ps = [
+                        (m.start(), i, m.group())
+                        for m in pp.finditer(sent)
+                        for i in pids[m.group()]
+                    ]
+                    if not ps:
+                        continue
+                    _, subj, subj_surface = min(ms)
+                    _, pid, p_surface = min(ps)
+                    for o_start, obj, obj_surface in ms:
+                        if obj == subj:
+                            continue
+                        key = (conv, subj, pid, obj)
+                        order = (turn, sent_idx, o_start)
+                        prev = best.get(key)
+                        if prev is None or order < prev[0]:
+                            best[key] = (
+                                order,
+                                (conv, turn, sent_idx, sent, subj,
+                                 subj_surface, pid, p_surface, obj,
+                                 obj_surface, o_start),
+                            )
+            rows = [v[1] for v in best.values()]
+            # column-wise construction: pandas' row-tuple path is ~5x slower
+            data = list(zip(*rows)) if rows else [[] for _ in cols]
+            yield pd.DataFrame(dict(zip(cols, data)))
+
+    return generate
 
 
 def extract_triples(
@@ -134,78 +223,45 @@ def extract_triples(
     (turn_idx, sent_idx, m_start) order (X5 first-match parity).
     """
     if n_partitions:
-        # explicit repartition by conv hash (north_rule); downstream windows
-        # reuse this partitioning.
+        # explicit repartition by conv hash (north_rule); downstream
+        # aggregations reuse this hash family.
         transcripts = transcripts.repartition(n_partitions, F.col("conv_id"))
 
-    sentences = segment_turns(transcripts)
-    mentions = detect_mentions(sentences, alias_dict)
-    predicates = detect_predicates(sentences, predicate_dict)
+    # SINGLE Python pass (fused mapInPandas): segmentation + both automatons
+    # + candidate emission. Chained per-column UDFs cost 3 Arrow round-trips
+    # and re-execute in each DAG branch — measured 3-5x the kernel cost.
+    gen = make_candidate_generator(
+        _alias_surface_ids(alias_dict),
+        _predicate_surface_ids(predicate_dict),
+    )
+    cands = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        gen, CANDIDATE_SCHEMA
+    )
 
-    sent_key = ["conv_id", "turn_idx", "sent_idx"]
-
-    # earliest predicate per sentence (first-match, X5)
-    first_pred = (
-        predicates.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(*sent_key).orderBy("p_start", "pid")
+    # first-evidence dedup as a min_by hash aggregate (partial combine
+    # map-side) — not a row_number sort window; the shuffle carries one row
+    # per (conv, subj, pred, obj) per map partition.
+    first = cands.groupBy("conv_id", "subj", "pid", "obj").agg(
+        F.min_by(
+            F.struct(
+                "turn_idx", "sent_idx", "sentence",
+                "subj_surface", "p_surface", "obj_surface",
             ),
-        )
-        .where(F.col("rn") == 1)
-        .drop("rn")
+            F.struct("turn_idx", "sent_idx", "obj_start"),
+        ).alias("ev")
     )
-
-    # earliest mention per sentence = subject; different-entity mentions are
-    # objects. Self-join stays within one sentence — co-partitioned, no
-    # row explosion beyond mention pairs.
-    subj = (
-        mentions.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(*sent_key).orderBy("m_start", "entity_id")
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select(
-            *sent_key, "sentence", "ts",
-            F.col("entity_id").alias("subj"),
-            F.col("surface").alias("subj_surface"),
-            F.col("m_start").alias("subj_start"),
-        )
-    )
-    obj = mentions.select(
-        *sent_key,
-        F.col("entity_id").alias("obj"),
-        F.col("surface").alias("obj_surface"),
-        F.col("m_start").alias("obj_start"),
-    )
-
-    cands = (
-        subj.join(obj, sent_key)
-        .where(F.col("obj") != F.col("subj"))
-        .join(first_pred, sent_key)
-    )
-
-    dedup = Window.partitionBy("conv_id", "subj", "pid", "obj").orderBy(
-        "turn_idx", "sent_idx", "obj_start"
-    )
-    return (
-        cands.withColumn("rn", F.row_number().over(dedup))
-        .where(F.col("rn") == 1)
-        .select(
-            triple_id("subj", "pid", "obj").alias("id"),
-            F.col("subj"),
-            F.col("pid").alias("pred"),
-            F.col("obj"),
-            "conv_id",
-            "turn_idx",
-            "sent_idx",
-            F.col("sentence").alias("evidence"),
-            "subj_surface",
-            F.col("p_surface").alias("pred_surface"),
-            "obj_surface",
-        )
+    return first.select(
+        triple_id("subj", "pid", "obj").alias("id"),
+        F.col("subj"),
+        F.col("pid").alias("pred"),
+        F.col("obj"),
+        "conv_id",
+        F.col("ev.turn_idx").alias("turn_idx"),
+        F.col("ev.sent_idx").alias("sent_idx"),
+        F.col("ev.sentence").alias("evidence"),
+        F.col("ev.subj_surface").alias("subj_surface"),
+        F.col("ev.p_surface").alias("pred_surface"),
+        F.col("ev.obj_surface").alias("obj_surface"),
     )
 
 
