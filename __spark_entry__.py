@@ -549,6 +549,149 @@ def q_evt_tumbling_window(spark, sf_dir):
     )
 
 
+def q_kg_canonical_map(spark, sf_dir):
+    """Connected-components canonicalization (north_rule stage 6) over a
+    collision graph derived from data: brands sharing a p_name token are
+    one component; canonical id = lexicographic min brand. Spark side runs
+    the iterative salted min-label propagation from pipeline/canonicalize;
+    the DuckDB oracle is a WITH RECURSIVE reachability min."""
+    from xwikire_spark.pipeline.canonicalize import connected_components
+
+    p = _load(spark, sf_dir, "part")
+    toks = p.select(
+        F.col("p_brand").alias("brand"),
+        F.explode(F.split("p_name", " ")).alias("tok"),
+    ).distinct()
+    a = toks.alias("a")
+    b = toks.alias("b")
+    edges = (
+        a.join(b, "tok")
+        .where(F.col("a.brand") < F.col("b.brand"))
+        .select(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
+        .distinct()
+    )
+    vertices = p.select(F.col("p_brand").alias("id")).distinct()
+    cc = connected_components(vertices, edges)
+    return cc.select(F.col("id").alias("brand"),
+                     F.col("component").alias("canonical"))
+
+
+def q_a4_mean_context_len(spark, sf_dir):
+    """A4: mean token count (context_size.py:13-20)."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.avg(F.size(F.split(F.trim("text"), " "))), 6).alias(
+            "mean_tokens"
+        )
+    )
+
+
+def q_a5_distinct_ids(spark, sf_dir):
+    """A5: distinct id collection (split_entity.py:10-33)."""
+    o = _load(spark, sf_dir, "orders")
+    return o.select("o_custkey").distinct()
+
+
+def q_j9_fold_lookup(spark, sf_dir):
+    """J9: fold-assignment map applied to every example
+    (split_rel.py:55-97): fold the A7 packing back onto orders."""
+    from xwikire_spark.operators.splits import greedy_fold_packing
+
+    o = _load(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_custkey").alias("class")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    folds = greedy_fold_packing(counts).select(
+        F.col("class").alias("o_custkey"), "fold"
+    )
+    return (
+        o.join(F.broadcast(folds), "o_custkey")
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_j11_oov_coverage(spark, sf_dir):
+    """J11: token-set coverage vs a model vocab (find_oov.py:57-151)."""
+    from xwikire_spark.operators.vocab import oov_coverage
+
+    docs = _load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.trim("text"), " ")).alias("token")
+    )
+    vocab = spark.createDataFrame(
+        [("spark",), ("join",), ("table",), ("data",), ("filter",),
+         ("nonexistent-token",)],
+        "token string",
+    )
+    return oov_coverage(tokens, vocab)
+
+
+def q_w5_sequential_splits(spark, sf_dir):
+    """W5: test -> dev -> train drawn from a shrinking pool
+    (split_entity.py:115-138)."""
+    from xwikire_spark.operators.splits import sequential_splits
+
+    c = _load(spark, sf_dir, "customer").select("c_custkey")
+    out = sequential_splits(
+        c, {"test": 100, "dev": 200, "train": 10**9},
+        id_col="c_custkey", order_col="c_custkey",
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_custkey").alias("min_id"),
+        F.max("c_custkey").alias("max_id"),
+    )
+
+
+def q_x2_text_clean(spark, sf_dir):
+    """X2/X3: heading/citation/blank-line cleanup chain
+    (MergedWikis.py:182-189) applied to documents."""
+    from xwikire_spark.functions.text import clean_text
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(clean_text(F.col("text"))).alias("clean_hash")
+    )
+
+
+def q_x14_template_fill(spark, sf_dir):
+    """J4+X14 (English rules): row-multiplying template join + XXX
+    substitution (QA.py:128-146; en filler is plain replace,
+    template_fillers.py:5-7)."""
+    p = _load(spark, sf_dir, "part")
+    templates = spark.createDataFrame(
+        [("t1", "Where is XXX made?"), ("t2", "Who sells XXX?")],
+        "template_id string, template string",
+    )
+    return p.select("p_partkey", "p_name").crossJoin(
+        F.broadcast(templates)
+    ).select(
+        "p_partkey",
+        "template_id",
+        F.replace(F.col("template"), F.lit("XXX"), F.col("p_name")).alias(
+            "question"
+        ),
+    )
+
+
+def q_x20_sublist_locations(spark, sf_dir):
+    """X20: contiguous sub-sequence match offsets
+    (WikiReading.py:81-88, utils.py:13-20): all start indices of the token
+    bigram ('join', 'order') in each document, 0-based."""
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    starts = F.filter(
+        F.transform(words, lambda t, i: i),
+        lambda i: (i + 2 <= F.size(words))
+        & (F.element_at(words, (i + 1).cast("int")) == "join")
+        & (F.element_at(words, (i + 2).cast("int")) == "order"),
+    )
+    return docs.select(
+        "doc_id", F.explode(starts).alias("match_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators over documents / embeddings.
 # ---------------------------------------------------------------------------
@@ -666,6 +809,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_char_span": q_x6_char_span,
         "x13_unit_extract": q_x13_unit_extract,
         "evt_tumbling_window": q_evt_tumbling_window,
+        "kg_canonical_map": q_kg_canonical_map,
+        "a4_mean_context_len": q_a4_mean_context_len,
+        "a5_distinct_ids": q_a5_distinct_ids,
+        "j9_fold_lookup": q_j9_fold_lookup,
+        "j11_oov_coverage": q_j11_oov_coverage,
+        "w5_sequential_splits": q_w5_sequential_splits,
+        "x2_text_clean": q_x2_text_clean,
+        "x14_template_fill": q_x14_template_fill,
+        "x20_sublist_locations": q_x20_sublist_locations,
         "dedup_exact": q_dedup_exact,
         "dedup_near_jaccard": q_dedup_near_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -925,6 +1077,114 @@ def oracle_sql() -> dict[str, str]:
             FROM w, unnest(generate_series(0,
                      greatest(len(words) - 3, 0))) AS t(i)
             GROUP BY doc_id
+        """,
+        "kg_canonical_map": """
+            WITH RECURSIVE
+            toks AS (
+              SELECT DISTINCT p_brand AS brand, unnest(string_split(p_name, ' ')) AS tok
+              FROM part
+            ),
+            edges AS (
+              SELECT DISTINCT a.brand AS src, b.brand AS dst
+              FROM toks a JOIN toks b ON a.tok = b.tok
+              WHERE a.brand <> b.brand
+            ),
+            reach(node, lab) AS (
+              SELECT DISTINCT brand, brand FROM toks
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS brand, min(lab) AS canonical
+            FROM reach GROUP BY node
+        """,
+        "a4_mean_context_len": """
+            SELECT lang,
+                   round(avg(len(string_split(trim(text), ' '))), 6)
+                       AS mean_tokens
+            FROM documents GROUP BY lang
+        """,
+        "a5_distinct_ids": """
+            SELECT DISTINCT o_custkey FROM orders
+        """,
+        "j9_fold_lookup": """
+            WITH counts AS (
+              SELECT o_custkey AS class, count(*) AS count
+              FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+              SELECT class, count,
+                     row_number() OVER (ORDER BY count DESC, class) AS rank,
+                     count(*) OVER () AS n
+              FROM counts
+            ),
+            folds AS (
+              SELECT class AS o_custkey,
+                     CAST((least(rank, n + 1 - rank) - 1) % 10 AS INT)
+                         AS fold
+              FROM ranked
+            )
+            SELECT fold, count(*) AS n_orders
+            FROM orders JOIN folds USING (o_custkey)
+            GROUP BY fold
+        """,
+        "j11_oov_coverage": """
+            WITH toks AS (
+              SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS token
+              FROM documents
+            ),
+            vocab(token) AS (VALUES ('spark'), ('join'), ('table'),
+                             ('data'), ('filter'), ('nonexistent-token'))
+            SELECT (SELECT count(*) FROM toks) AS n_tokens,
+                   (SELECT count(*) FROM toks
+                    WHERE token IN (SELECT token FROM vocab)) AS n_covered,
+                   round(CAST((SELECT count(*) FROM toks
+                               WHERE token IN (SELECT token FROM vocab))
+                              AS DOUBLE)
+                         / (SELECT count(*) FROM toks), 6) AS coverage
+        """,
+        "w5_sequential_splits": """
+            WITH ranked AS (
+              SELECT c_custkey,
+                     row_number() OVER (ORDER BY c_custkey) AS rn
+              FROM customer
+            ),
+            assigned AS (
+              SELECT c_custkey,
+                     CASE WHEN rn <= 100 THEN 'test'
+                          WHEN rn <= 300 THEN 'dev'
+                          ELSE 'train' END AS split
+              FROM ranked
+            )
+            SELECT split, count(*) AS n, min(c_custkey) AS min_id,
+                   max(c_custkey) AS max_id
+            FROM assigned GROUP BY split
+        """,
+        "x2_text_clean": """
+            SELECT doc_id,
+                   md5(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text,
+                                   '(?s)\\s*===?\\s(See also|Notes|Further reading|External links)\\s===?.*$',
+                                   ''),
+                               '===?\\s[^=]+\\s===?\\n?', '', 'g'),
+                           '\\[[0-9]+\\]', '', 'g'),
+                       '\\n{3,}', chr(10) || chr(10), 'g')) AS clean_hash
+            FROM documents
+        """,
+        "x14_template_fill": """
+            SELECT p_partkey, template_id,
+                   replace(template, 'XXX', p_name) AS question
+            FROM part CROSS JOIN (VALUES
+                ('t1', 'Where is XXX made?'),
+                ('t2', 'Who sells XXX?')) AS t(template_id, template)
+        """,
+        "x20_sublist_locations": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                       FROM documents)
+            SELECT doc_id, CAST(i AS INT) AS match_start
+            FROM w, unnest(generate_series(0, len(words) - 2)) AS t(i)
+            WHERE words[i + 1] = 'join' AND words[i + 2] = 'order'
         """,
         "ann_topk_cosine": """
             WITH q AS (SELECT vec_id AS query_id,
