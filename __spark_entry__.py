@@ -549,6 +549,49 @@ def q_evt_tumbling_window(spark, sf_dir):
     )
 
 
+def _kg_dicts(spark):
+    alias_df = spark.createDataFrame(
+        [(a, e) for a, e in KG_ENTITIES], "alias string, entity_id string"
+    )
+    pred_df = spark.createDataFrame(
+        [(p, s, []) for s, p in KG_PREDICATES],
+        "pid string, label string, aliases array<string>",
+    )
+    return alias_df, pred_df
+
+
+def q_kg_triples_pipeline(spark, sf_dir):
+    """The REAL extraction pipeline (fused mapInPandas: segmentation +
+    regex automatons + batch dedup, pipeline/extraction.py) over the same
+    derived turns — value-checked against the SAME DuckDB oracle as the
+    JVM-only flagship. Turns are single sentences (no terminal punctuation
+    in the synthetic corpus), so both plans must agree exactly."""
+    from xwikire_spark.pipeline.extraction import extract_triples
+
+    turns = kg_turns_df(spark, sf_dir)
+    alias_df, pred_df = _kg_dicts(spark)
+    t = extract_triples(turns, alias_df, pred_df)
+    return t.select(
+        F.md5(F.concat_ws(" ", "subj", "pred", "obj")).alias("id"),
+        "subj", "pred", "obj", "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "evidence",
+    )
+
+
+def q_srl_export(spark, sf_dir):
+    """SRL sentence export (F7 verb filter + F8 contiguity + A10 dedup,
+    pipeline/srl.py) over the extracted triples. Rows-only check: POS
+    tagging is a Python kernel with no SQL equivalent."""
+    from xwikire_spark.pipeline.extraction import extract_triples
+    from xwikire_spark.pipeline.srl import srl_export
+
+    turns = kg_turns_df(spark, sf_dir)
+    alias_df, pred_df = _kg_dicts(spark)
+    triples = extract_triples(turns, alias_df, pred_df)
+    return srl_export(triples, require_verb=True, blacklist_is_a=True)
+
+
 def q_kg_canonical_map(spark, sf_dir):
     """Connected-components canonicalization (north_rule stage 6) over a
     collision graph derived from data: brands sharing a p_name token are
@@ -787,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turns": kg_turns_df,
         "kg_mentions": kg_mentions_df,
         "kg_triples": kg_triples_df,
+        "kg_triples_pipeline": q_kg_triples_pipeline,
+        "srl_export": q_srl_export,
         "s1_range_scan": q_s1_range_scan,
         "s5_regex_scan": q_s5_regex_scan,
         "f1_filter_project": q_f1_filter_project,
@@ -836,6 +881,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_turns": KG_TURNS_SQL,
         "kg_mentions": KG_MENTIONS_SQL,
         "kg_triples": KG_TRIPLES_SQL,
+        # the real pandas-UDF pipeline must reproduce the same result
+        "kg_triples_pipeline": KG_TRIPLES_SQL,
         "s1_range_scan": """
             SELECT l_returnflag, count(*) AS n_rows,
                    round(sum(l_quantity), 2) AS sum_qty

@@ -1,0 +1,84 @@
+"""SRL export path: POS tagging, span location, verb/contiguity filters."""
+
+import pandas as pd
+
+from xwikire_spark.kernels.pos import contains_verb, pos_tag
+from xwikire_spark.pipeline.srl import srl_export, srl_rows
+
+
+class TestPosKernel:
+    def test_verbs(self):
+        tags = pos_tag(["Einstein", "was", "born", "in", "Ulm", "."])
+        assert tags[1] in {"VBD", "VBZ"} and tags[2] == "VBD"
+        assert tags[0] == "NNP" and tags[3] == "IN" and tags[5] == "."
+
+    def test_contains_verb_span(self):
+        # the F7 test (src/srl.py:61-68)
+        tags = ["NNP", "VBD", "VBD", "IN", "NNP", "."]
+        assert contains_verb(tags, 1, 3)
+        assert not contains_verb(tags, 3, 5)
+
+
+def _triples_df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+BASE = dict(
+    id="t1", subj="Q2", pred="P19", obj="Q1", conv_id="c1", turn_idx=0,
+    sent_idx=0,
+)
+
+
+class TestSrlExport:
+    def test_spans_and_verb(self, spark):
+        t = _triples_df(spark, [dict(
+            BASE, evidence="Albert Einstein was born in Ulm.",
+            subj_surface="Albert Einstein", pred_surface="born in",
+            obj_surface="Ulm")])
+        rows = srl_rows(t).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.sentence_sequence[:2] == ["Albert", "Einstein"]
+        assert r.subj_locations == [0, 1] and r.subj_breaks == []
+        # 'born in' spans tokens 3-4; contains VBD 'born' -> F7 passes
+        assert r.relation_locations == [3, 4]
+        assert r.relation_has_verb
+        assert srl_export(t).count() == 1
+
+    def test_verb_filter_drops(self, spark):
+        # relation span with no verb -> dropped by F7 (src/srl.py:112)
+        t = _triples_df(spark, [dict(
+            BASE, evidence="Einstein birthplace city Ulm region.",
+            subj_surface="Einstein", pred_surface="birthplace city",
+            obj_surface="Ulm")])
+        assert srl_rows(t).first().relation_has_verb is False
+        assert srl_export(t).count() == 0
+        assert srl_export(t, require_verb=False).count() == 1
+
+    def test_contiguity_filter(self, spark):
+        # answer tokens occur only non-contiguously -> unlocatable as a
+        # full match -> row skipped (src/builders/SRL.py:68-72)
+        t = _triples_df(spark, [dict(
+            BASE, evidence="Einstein was born in Ulm near Berlin.",
+            subj_surface="Einstein", pred_surface="born in",
+            obj_surface="Ulm Berlin")])
+        assert srl_rows(t).count() == 0
+
+    def test_blacklist(self, spark):
+        # F9: "is a" sentences dropped (src/scripts/srl_intersection.py:20-26)
+        t = _triples_df(spark, [dict(
+            BASE, evidence="Einstein is a physicist born in Ulm.",
+            subj_surface="Einstein", pred_surface="born in",
+            obj_surface="Ulm")])
+        assert srl_export(t).count() == 0
+        assert srl_export(t, blacklist_is_a=False).count() == 1
+
+    def test_sentence_dedup(self, spark):
+        # same sentence + triple twice -> one row (A10,
+        # src/builders/SRL.py:47-65)
+        row = dict(
+            BASE, evidence="Albert Einstein was born in Ulm.",
+            subj_surface="Albert Einstein", pred_surface="born in",
+            obj_surface="Ulm")
+        t = _triples_df(spark, [row, dict(row, turn_idx=5)])
+        assert srl_export(t).count() == 1
