@@ -1,0 +1,71 @@
+"""spark-submit entry point for the KG-construction pipeline (north_rule:
+"run via spark-submit --py-files on a multi-executor cluster").
+
+    spark-submit --py-files xwikire_spark.zip scripts/run_pipeline.py \
+        --transcripts /data/transcripts \
+        --alias-dict /data/alias_dict \
+        --predicate-dict /data/predicate_dict \
+        --out /data/kg \
+        [--n-buckets 4096] [--n-partitions 8192] [--no-canonicalize]
+
+Inputs are parquet directories (Iceberg tables read the same way once the
+runtime jar is on the cluster — this container has none, so the parquet
+fallback is wired): transcripts with the BASELINE.json input_hint schema;
+alias_dict (alias, entity_id[, canonical_label, is_canonical]);
+predicate_dict (pid, label, aliases).
+
+Output: out/triples/part_bucket=*/ + out/_manifests (resume on re-run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# plain-python invocation: make the repo importable (spark-submit users get
+# this via --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--transcripts", required=True)
+    p.add_argument("--alias-dict", required=True)
+    p.add_argument("--predicate-dict", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-buckets", type=int, default=256)
+    p.add_argument("--n-partitions", type=int, default=None)
+    p.add_argument("--no-canonicalize", action="store_true")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from xwikire_spark.session import get_spark
+    from xwikire_spark.pipeline.extraction import extract_triples
+    from xwikire_spark.pipeline.canonicalize import canonicalize_triples
+    from xwikire_spark.pipeline.manifests import run_with_manifests
+
+    spark = get_spark("xwikire-kg", master=args.master)
+    transcripts = spark.read.parquet(args.transcripts)
+    alias_dict = spark.read.parquet(args.alias_dict)
+    predicate_dict = spark.read.parquet(args.predicate_dict)
+
+    def build(df):
+        t = extract_triples(
+            df, alias_dict, predicate_dict, n_partitions=args.n_partitions
+        )
+        if not args.no_canonicalize:
+            t = canonicalize_triples(t, alias_dict)
+        return t
+
+    out = run_with_manifests(
+        spark, transcripts, build, args.out, n_buckets=args.n_buckets
+    )
+    n = out.count()
+    print(f"kg-pipeline: {n} triples materialized under {args.out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
