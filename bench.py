@@ -57,6 +57,10 @@ def main() -> None:
                       shuffle_partitions=max(CPUS, 32))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm-up: JVM/codegen/python-worker spin-up lands here, not in the
+    # first headline query's number
+    qs["kg_triples"](spark, SF_DIR).count()
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
