@@ -155,3 +155,41 @@ class TestVocabAndSplits:
         got = out.groupBy("cls").count().collect()
         # 6 picks round-robin over 3 classes -> 2 each
         assert {r.cls: r["count"] for r in got} == {"x": 2, "y": 2, "z": 2}
+
+
+class TestConnectedComponentsSkew:
+    def test_hot_vertex_star_graph(self, spark):
+        """A hub connected to 400 spokes (the hot-entity shape the salted
+        two-phase min in canonicalize.py exists for) must converge to one
+        component with the min id, plus untouched singletons."""
+        import pandas as pd
+
+        from xwikire_spark.pipeline.canonicalize import connected_components
+
+        hub = "Q0500"
+        spokes = [f"Q{i:04d}" for i in range(1000, 1400)]
+        singletons = [f"Q{i:04d}" for i in range(2000, 2050)]
+        vertices = spark.createDataFrame(
+            pd.DataFrame({"id": [hub] + spokes + singletons}))
+        edges = spark.createDataFrame(
+            pd.DataFrame({"src": [hub] * len(spokes), "dst": spokes}))
+        cc = {r.id: r.component
+              for r in connected_components(vertices, edges).collect()}
+        star = {cc[v] for v in [hub] + spokes}
+        assert star == {hub}, f"star labels: {star}"  # hub is min id
+        assert all(cc[s] == s for s in singletons)
+
+    def test_chain_converges_logarithmically(self, spark):
+        """A 64-node path graph needs O(log n) rounds — must finish within
+        the max_iter budget and label everything with the chain min."""
+        import pandas as pd
+
+        from xwikire_spark.pipeline.canonicalize import connected_components
+
+        ids = [f"N{i:03d}" for i in range(64)]
+        vertices = spark.createDataFrame(pd.DataFrame({"id": ids}))
+        edges = spark.createDataFrame(pd.DataFrame({
+            "src": ids[:-1], "dst": ids[1:]}))
+        cc = {r.id: r.component
+              for r in connected_components(vertices, edges).collect()}
+        assert set(cc.values()) == {"N000"}

@@ -71,12 +71,29 @@ def minhash_signatures(
     exploded = docs.select(
         "doc_id", F.explode(_shingles(text_col, k)).alias("shingle")
     )
-    hashed = exploded.select(
+    # Kirsch-Mitzenmacher-style family: TWO real hashes per shingle, the
+    # other n_hashes-2 derived by overflow-free bit mixing (h1 XOR rotl(h2,
+    # i)) — ANSI mode forbids the classic h1 + i*h2 (long overflow), and 32
+    # xxhash64 evaluations per shingle measured ~3x the whole stage cost.
+    base = exploded.select(
         "doc_id",
-        *[
-            F.xxhash64("shingle", F.lit(i)).alias(f"h{i}")
-            for i in range(n_hashes)
-        ],
+        F.xxhash64("shingle", F.lit(1)).alias("h1"),
+        F.xxhash64("shingle", F.lit(2)).alias("h2"),
+    )
+
+    def g(i: int):
+        if i == 0:
+            return F.col("h1")
+        if i == 1:
+            return F.col("h2")
+        rot = (i * 13) % 63 + 1  # coprime stride -> distinct rotations
+        rotated = F.shiftleft(F.col("h2"), rot).bitwiseOR(
+            F.shiftrightunsigned(F.col("h2"), 64 - rot)
+        )
+        return F.col("h1").bitwiseXOR(rotated)
+
+    hashed = base.select(
+        "doc_id", *[g(i).alias(f"h{i}") for i in range(n_hashes)]
     )
     mins = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]

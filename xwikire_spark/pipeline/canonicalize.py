@@ -46,10 +46,16 @@ def collision_edges(alias_dict: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
 ) -> DataFrame:
     """vertices(id) x edges(src,dst) -> (id, component) with component =
-    min id reachable. Deterministic; stops when no label changes."""
+    min id reachable. Deterministic; stops when no label changes.
+
+    Each round does (a) neighbor-min propagation and (b) pointer jumping
+    (component := label(component), i.e. path halving). (a) alone is
+    O(diameter) — a 64-node chain would need 63 rounds; (b) halves label
+    chains each round, giving the O(log n) bound (verified by the chain
+    test in tests/test_operators.py)."""
     # symmetrize once: each undirected edge contributes both directions
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -59,9 +65,9 @@ def connected_components(
     ).localCheckpoint()
 
     for _ in range(max_iter):
-        # neighbor labels: join edge.src -> label(src), propose to dst.
-        # Salted two-phase min to keep hot vertices from serializing a
-        # single reducer: partial min per (dst, salt), then final min.
+        # (a) neighbor labels: join edge.src -> label(src), propose to dst.
+        # Salted two-phase min keeps hot vertices from serializing a single
+        # reducer: partial min per (dst, salt), then final min.
         proposals = (
             sym.join(labels, sym.src == labels.id)
             .select(
@@ -74,24 +80,39 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("neighbor_min"))
         )
-        updated = (
-            labels.join(proposals, "id", "left")
+        stepped = labels.join(proposals, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("neighbor_min"), F.col("component")),
+            ).alias("component"),
+        )
+        # (b) pointer jump: component := label(component). label(c) <= c is
+        # invariant (labels only decrease, starting at the id itself), so
+        # the jump never increases a label.
+        parent = stepped.select(
+            F.col("id").alias("component"),
+            F.col("component").alias("grand"),
+        )
+        jumped = (
+            stepped.join(parent, "component", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neighbor_min"), F.col("component")),
-                ).alias("component"),
-                (
-                    F.coalesce(F.col("neighbor_min"), F.col("component"))
-                    < F.col("component")
-                ).alias("changed"),
+                F.coalesce(F.col("grand"), F.col("component")).alias(
+                    "component"
+                ),
             )
             .localCheckpoint()
         )
-        n_changed = updated.where(F.col("changed")).limit(1).count()
-        labels = updated.drop("changed")
-        if n_changed == 0:
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
             break
     return labels
 
