@@ -1,0 +1,27 @@
+"""Driver-contract smoke: entry() runs and the queries()/oracle_sql() maps
+stay consistent (every oracle key has a query; flagship schema stable)."""
+
+import __spark_entry__ as entry_mod
+
+
+class TestDriverContract:
+    def test_entry_smoke(self, spark):
+        df = entry_mod.entry(spark)
+        assert df.schema.simpleString() == (
+            "struct<id:string,subj:string,pred:string,obj:string,"
+            "conv_id:string,turn_idx:int,evidence:string>"
+        )
+        assert df.count() > 0
+
+    def test_maps_consistent(self):
+        qs = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
+        assert set(oracles) <= set(qs), set(oracles) - set(qs)
+        # every query callable is, in fact, callable
+        assert all(callable(f) for f in qs.values())
+        # rows-only set stays small and intentional
+        rows_only = set(qs) - set(oracles)
+        assert rows_only == {
+            "dedup_minhash_lsh", "dedup_simhash", "ann_topk_lsh",
+            "txt_langid", "srl_export",
+        }, rows_only
