@@ -592,6 +592,40 @@ def q_srl_export(spark, sf_dir):
     return srl_export(triples, require_verb=True, blacklist_is_a=True)
 
 
+def q_evt_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the event stream (the batch shape of a
+    streaming session window): a new session starts when a user's
+    inter-event gap exceeds 30 minutes. lag + cumulative sum of
+    session-start flags — one shuffle on user_id."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer-microsecond gap (unix_timestamp truncates to seconds
+    # and DuckDB epoch() keeps fractions — micros agree on both engines)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("min(unix_micros(cast(ts as timestamp))) div 1000000").alias(
+            "session_start_epoch"
+        ),
+        F.expr("max(unix_micros(cast(ts as timestamp))) div 1000000").alias(
+            "session_end_epoch"
+        ),
+    )
+
+
 def q_kg_canonical_map(spark, sf_dir):
     """Connected-components canonicalization (north_rule stage 6) over a
     collision graph derived from data: brands sharing a p_name token are
@@ -854,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_char_span": q_x6_char_span,
         "x13_unit_extract": q_x13_unit_extract,
         "evt_tumbling_window": q_evt_tumbling_window,
+        "evt_sessionize": q_evt_sessionize,
         "kg_canonical_map": q_kg_canonical_map,
         "a4_mean_context_len": q_a4_mean_context_len,
         "a5_distinct_ids": q_a5_distinct_ids,
@@ -1124,6 +1159,29 @@ def oracle_sql() -> dict[str, str]:
             FROM w, unnest(generate_series(0,
                      greatest(len(words) - 3, 0))) AS t(i)
             GROUP BY doc_id
+        """,
+        "evt_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                              (PARTITION BY user_id
+                               ORDER BY ts, event_id)) > 1800000000
+                          OR lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ),
+            sessions AS (
+              SELECT user_id, ts,
+                     CAST(sum(new_session) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(epoch_us(ts)) // 1000000 AS session_start_epoch,
+                   max(epoch_us(ts)) // 1000000 AS session_end_epoch
+            FROM sessions GROUP BY user_id, session_seq
         """,
         "kg_canonical_map": """
             WITH RECURSIVE
