@@ -17,7 +17,7 @@ The reference's only dedup is a per-doc `seen` set over sentence sha1s
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,16 +44,27 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _shingles(text_col: str, k: int = 3):
-    """k-word shingles as a column expression (JVM-side, no UDF):
-    transform over token-start offsets."""
+    """k-word shingles as a column expression (JVM-side, no UDF).
+
+    Built by zipping k shifted copies of the token array — k ``split``
+    evaluations per document total. The index-transform alternative
+    (element_at(words, i+j) per offset) makes Catalyst inline the split
+    into every element access: O(words²) work per document (measured 3.5 s
+    for 5k docs vs ~0.5 s for this shape)."""
     words = F.split(F.col(text_col), " ")
-    n = F.greatest(F.size(words) - (k - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
+    zipped = words
+    for j in range(1, k):
+        shifted = F.slice(
+            F.split(F.col(text_col), " "),
+            j + 1,
+            F.greatest(F.size(words) - j, F.lit(0)).cast("int"),
+        )
+        zipped = F.zip_with(
+            zipped, shifted, lambda a, b: F.concat_ws(" ", a, b)
+        )
+    # zip_with pads to the longer side: drop the trailing partial shingles
+    n = F.greatest(F.size(words) - (k - 1), F.lit(0)).cast("int")
+    return F.slice(zipped, 1, n)
 
 
 def minhash_signatures(
@@ -105,11 +116,18 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_bands: int = 8
+    signatures: DataFrame, n_bands: int = 8, max_bucket: int = 200
 ) -> DataFrame:
     """Band the signature and join docs sharing any band bucket.
-    Output: doc_a < doc_b candidate pairs (distinct)."""
-    n_hashes = None  # derived per-row from the sig length
+    Output: doc_a < doc_b candidate pairs (distinct).
+
+    ``max_bucket``: buckets larger than this are dropped before the
+    self-join — a bucket shared by thousands of docs is non-discriminative
+    (boilerplate shingles) and its pair blowup is quadratic; real near-dups
+    collide on *specific* buckets too. This is the standard stop-bucket
+    guard; at web scale it is the difference between a bounded join and a
+    quadratic one on the hottest bucket.
+    """
     rows_per_band = F.size("sig") / n_bands
     banded = signatures.select(
         "doc_id",
@@ -129,8 +147,16 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    sized = (
+        banded.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash")),
+        )
+        .where(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
     return (
         a.join(b, ["band", "band_hash"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

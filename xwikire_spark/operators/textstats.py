@@ -66,19 +66,15 @@ def fingerprint_min_shingle(
 ) -> DataFrame:
     """Winnowing-lite fingerprint: min md5 over k-word shingles — a stable
     content fingerprint robust to suffix edits. SQL-expressible (oracle in
-    __spark_entry__)."""
-    words = F.split(F.col(text_col), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
+    __spark_entry__). Shingles come from the zip_with construction in
+    operators.dedup (the per-index element_at shape is O(words²))."""
+    from xwikire_spark.operators.dedup import _shingles
+
     return docs.select(
         "doc_id",
-        F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias(
-            "fingerprint"
-        ),
+        F.array_min(
+            F.transform(_shingles(text_col, k), lambda s: F.md5(s))
+        ).alias("fingerprint"),
     )
 
 
