@@ -33,12 +33,21 @@ def collapse_paragraphs(text: str) -> str:
     return text.replace("\n\n", "\n")
 
 
+_BOUNDARY_CHARS = set(_TERMINALS + "\n")
+
+
 def segment_sentences(text: str) -> list[str]:
     """Split ``text`` into sentences, in document order, whitespace-stripped,
     empties dropped — matching how the reference's sentence list feeds
     distant supervision (src/builders/QA.py:34,80)."""
     if not text:
         return []
+    # fast path: no terminal punctuation or newline anywhere -> one
+    # sentence (the common single-sentence turn); C-level membership scan
+    # beats the regex split ~5x on such inputs
+    if not any(c in _BOUNDARY_CHARS for c in text):
+        s = text.strip()
+        return [s] if s else []
     text = collapse_paragraphs(text)
     parts = _BOUNDARY.split(text)
     return [p.strip() for p in parts if p and p.strip()]
