@@ -189,6 +189,20 @@ class TestWikiReading:
         assert r.answer_location == [2, 5]
         assert r.full_match_answer_location == [[2], [5]]
 
+    def test_empty_answer_yields_no_matches(self, spark):
+        # a value that tokenizes to zero tokens must emit NO spans, not
+        # vacuous full-table matches (find_full_matches empty-sublist
+        # contract)
+        docs = spark.createDataFrame(pd.DataFrame([
+            dict(entity_id="Q1", text="Alpha beta gamma."),
+        ]))
+        facts = spark.createDataFrame(pd.DataFrame([
+            dict(entity_id="Q1", pid="P1", value="   "),
+        ]))
+        r = answer_locations(tokenize_documents(docs), facts).first()
+        assert r.answer_location == []
+        assert r.full_match_answer_location == []
+
 
 class TestIO:
     def test_jsonl_round_trip(self, spark, tmp_path):

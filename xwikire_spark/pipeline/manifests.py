@@ -116,8 +116,13 @@ def run_with_manifests(
         )
         wall_ms = int((time.time() - t0) * 1000)
 
+        # count from the just-written files, NOT the build DataFrame —
+        # re-aggregating `out` would recompute the whole extraction
+        # (including the Python kernel) a second time.
         counts = (
-            out.groupBy("part_bucket")
+            spark.read.parquet(os.path.join(out_dir, "triples"))
+            .where(F.col("part_bucket").isin(todo))
+            .groupBy(F.col("part_bucket").cast("bigint").alias("part_bucket"))
             .agg(F.count(F.lit(1)).alias("triples_out"))
         )
         manifest_rows = (

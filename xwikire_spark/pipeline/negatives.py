@@ -47,7 +47,14 @@ def generate_negatives(
             "answer": [], "id": [], "answer_id": [], "prop_id": [],
             "example": [], "source_a": [], "source_b": [],
         }
-        rows = pdf.to_dict("records")
+        # applyInPandas delivers group rows in arbitrary partition order;
+        # pair roles (a vs b) and the max_pairs cutoff must not depend on
+        # it. Pin document order (turn/sent) when present, else positive id
+        # — the reference's per-doc insertion order made deterministic.
+        sort_cols = [
+            c for c in ("turn_idx", "sent_idx", "id") if c in pdf.columns
+        ]
+        rows = pdf.sort_values(sort_cols).to_dict("records")
         n_pairs = 0
         for a, b in itertools.combinations(rows, 2):
             if n_pairs >= max_pairs:

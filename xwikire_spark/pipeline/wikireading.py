@@ -65,12 +65,18 @@ def answer_locations(
         F.filter(indexed, lambda x: F.array_contains(ans, x["t"])),
         lambda x: x["i"],
     )
-    # X20: all contiguous full-match start offsets -> index ranges
-    starts = F.filter(
-        F.transform(seq, lambda t, i: i),
-        lambda i: (i + F.size(ans) <= F.size(seq))
-        & (F.slice(seq, i + 1, F.size(ans)) == ans),
-    )
+    # X20: all contiguous full-match start offsets -> index ranges.
+    # Guard the empty answer: with size(ans)=0 the filter is vacuously true
+    # at every index and sequence(s, s-1) yields a bogus descending pair —
+    # mirror find_full_matches' empty-sublist -> [] contract instead.
+    starts = F.when(
+        F.size(ans) > 0,
+        F.filter(
+            F.transform(seq, lambda t, i: i),
+            lambda i: (i + F.size(ans) <= F.size(seq))
+            & (F.slice(seq, i + 1, F.size(ans)) == ans),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     full_match = F.transform(
         starts,
         lambda s: F.sequence(s, s + F.size(ans) - 1),
