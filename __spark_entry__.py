@@ -265,6 +265,120 @@ FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, subj, pred, obj
 """
 
 
+def _sql_pos_case(t: str) -> str:
+    """DuckDB CASE replicating kernels.pos.pos_tag for one token — generated
+    from the SAME rule sets, so the SRL oracle checks the real tagger output
+    (ASCII-scoped: isalnum/isdigit/isupper become [A-Za-z0-9] classes, which
+    is exact on this corpus's [a-z0-9]+ vocabulary)."""
+    from xwikire_spark.kernels import pos as _pos
+
+    def _in(vals) -> str:
+        return ", ".join(f"'{v}'" for v in sorted(vals))
+
+    lo = f"lower({t})"
+    vbd_irregular = {"was", "were", "went", "said", "made", "knew", "wrote",
+                     "came", "born", "gone", "been", "had", "did"}
+    vbz_excluded = {"is", "was", "does", "has"}
+    vbz_explicit = {"is", "has", "does", "resides", "lives", "works"}
+    verb_case = f"""CASE
+        WHEN {lo} LIKE '%ing' THEN 'VBG'
+        WHEN {lo} LIKE '%ed' OR {lo} IN ({_in(vbd_irregular)}) THEN 'VBD'
+        WHEN {lo} LIKE '%s' AND {lo} NOT IN ({_in(vbz_excluded)}) THEN 'VBZ'
+        WHEN {lo} IN ({_in(vbz_explicit)}) THEN 'VBZ'
+        ELSE 'VB' END"""
+    return f"""CASE
+      WHEN {t} = '' THEN 'NN'
+      WHEN NOT regexp_matches({t}, '[A-Za-z0-9]') THEN '.'
+      WHEN regexp_matches({t}, '^[0-9]') THEN 'CD'
+      WHEN {lo} IN ({_in(_pos._DETERMINERS)}) THEN 'DT'
+      WHEN {lo} IN ({_in(_pos._PREPOSITIONS)}) THEN 'IN'
+      WHEN {lo} IN ({_in(_pos._PRONOUNS)}) THEN 'PRP'
+      WHEN {lo} IN ({_in(_pos._CONJUNCTIONS)}) THEN 'CC'
+      WHEN {lo} IN ({_in(_pos._VERB_LEMMAS)}) THEN {verb_case}
+      WHEN {lo} LIKE '%ing' AND length({t}) > 4 THEN 'VBG'
+      WHEN {lo} LIKE '%ed' AND length({t}) > 3 THEN 'VBD'
+      WHEN regexp_matches({t}, '^[A-Z]') THEN 'NNP'
+      ELSE 'NN' END"""
+
+
+_SQL_VERB_TAGS = "'VB', 'VBD', 'VBG', 'VBN', 'VBP', 'VBZ'"
+
+# SRL export oracle: the triple derivation (same CTEs as KG_TRIPLES_SQL)
+# joined back to its surfaces, token-located, then the F7/F8/F9 filters:
+# - F8 contiguity: each surface occurs EXACTLY once in the sentence tokens
+#   (flatten_locations emits breaks whenever there are >=2 matches);
+# - F7 relation-verb: pos_tag of the single relation token is VB*;
+# - F9 blacklist: no 'is a' substring (pred P31 can't occur in this dict);
+# - A10 dedup is a no-op here (triples are unique per (conv,s,p,o)).
+SRL_EXPORT_SQL = f"""
+WITH {_KG_TURNS_CTE}, {_KG_MENTIONS_CTE},
+subj AS (
+  SELECT conv_id, turn_idx, entity_id AS subj
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY pos, entity_id) AS rn
+        FROM mentions) WHERE rn = 1
+),
+pred AS (
+  SELECT conv_id, turn_idx, pid AS pred
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY p_pos, pid) AS rn
+        FROM pred_hits) WHERE rn = 1
+),
+cands AS (
+  SELECT s.conv_id, s.turn_idx, s.subj, p.pred,
+         m.entity_id AS obj, m.pos AS obj_pos, t.text
+  FROM subj s
+  JOIN mentions m USING (conv_id, turn_idx)
+  JOIN pred p USING (conv_id, turn_idx)
+  JOIN turns t USING (conv_id, turn_idx)
+  WHERE m.entity_id <> s.subj
+),
+triples AS (
+  SELECT subj, pred, obj, conv_id, text AS evidence
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, subj, pred, obj
+                                     ORDER BY turn_idx, obj_pos) AS rn
+        FROM cands) WHERE rn = 1
+),
+srl AS (
+  SELECT t.*, es.alias AS subj_surface, eo.alias AS obj_surface,
+         pd.surface AS pred_surface,
+         string_split(evidence, ' ') AS toks
+  FROM triples t
+  JOIN entity_dict es ON es.entity_id = t.subj
+  JOIN entity_dict eo ON eo.entity_id = t.obj
+  JOIN pred_dict pd ON pd.pid = t.pred
+),
+located AS (
+  SELECT *,
+    [CAST(i - 1 AS INT) for i in generate_series(1, len(toks))
+     if toks[i] = subj_surface] AS subj_locs,
+    [CAST(i - 1 AS INT) for i in generate_series(1, len(toks))
+     if toks[i] = obj_surface] AS ans_locs,
+    [CAST(i - 1 AS INT) for i in generate_series(1, len(toks))
+     if toks[i] = pred_surface] AS rel_locs
+  FROM srl
+)
+SELECT conv_id,
+       evidence AS sentence,
+       md5(evidence) AS sentence_md5,
+       to_json(toks) AS tokens_json,
+       to_json(list_transform(toks, tok -> {_sql_pos_case('tok')}))
+           AS pos_json,
+       subj,
+       to_json(subj_locs) AS subj_locs_json,
+       pred,
+       to_json(rel_locs) AS rel_locs_json,
+       CAST(1 AS INT) AS has_verb,
+       obj,
+       to_json(ans_locs) AS ans_locs_json,
+       md5(subj || ' ' || pred || ' ' || obj) AS triple_md5
+FROM located
+WHERE len(subj_locs) = 1 AND len(ans_locs) = 1 AND len(rel_locs) = 1
+  AND ({_sql_pos_case('pred_surface')}) IN ({_SQL_VERB_TAGS})
+  AND strpos(evidence, 'is a') = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational operator inventory (SURVEY §2) over the TPC-H-ish tables.
 # ---------------------------------------------------------------------------
@@ -581,15 +695,35 @@ def q_kg_triples_pipeline(spark, sf_dir):
 
 def q_srl_export(spark, sf_dir):
     """SRL sentence export (F7 verb filter + F8 contiguity + A10 dedup,
-    pipeline/srl.py) over the extracted triples. Rows-only check: POS
-    tagging is a Python kernel with no SQL equivalent."""
+    pipeline/srl.py) over the extracted triples, projected to a hash-stable
+    shape: array columns exported as to_json (the driver's canonicalizer
+    sorts pandas columns — raw lists are unhashable), sha1 ids re-keyed to
+    md5 (DuckDB has no sha1). Fully value-hash checked: on this corpus the
+    tokenizer is whitespace splitting (pure [a-z0-9]+ words) and the rule
+    tagger (kernels/pos.py) is mirrored as a generated SQL CASE, so even
+    the POS column and the F7 verb flag are oracle-checked."""
     from xwikire_spark.pipeline.extraction import extract_triples
     from xwikire_spark.pipeline.srl import srl_export
 
     turns = kg_turns_df(spark, sf_dir)
     alias_df, pred_df = _kg_dicts(spark)
     triples = extract_triples(turns, alias_df, pred_df)
-    return srl_export(triples, require_verb=True, blacklist_is_a=True)
+    out = srl_export(triples, require_verb=True, blacklist_is_a=True)
+    return out.select(
+        "conv_id",
+        "sentence",
+        F.md5("sentence").alias("sentence_md5"),
+        F.to_json("sentence_sequence").alias("tokens_json"),
+        F.to_json("pos").alias("pos_json"),
+        "subj",
+        F.to_json("subj_locations").alias("subj_locs_json"),
+        "pred",
+        F.to_json("relation_locations").alias("rel_locs_json"),
+        F.col("relation_has_verb").cast("int").alias("has_verb"),
+        "obj",
+        F.to_json("answer_locations").alias("ans_locs_json"),
+        F.md5(F.concat_ws(" ", "subj", "pred", "obj")).alias("triple_md5"),
+    )
 
 
 def q_evt_sessionize(spark, sf_dir):
@@ -793,7 +927,11 @@ def q_dedup_near_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup (rows-only check: hash family not in DuckDB)."""
+    """MinHash-LSH near-dup. Value-hash checked: the verify stage is an
+    EXACT shingle-set Jaccard on candidates (precision 1.0 by construction),
+    so the oracle is the exact corpus-wide shingle-Jaccard pair set — any
+    pair LSH misses (or any wrong Jaccard value) fails the gate. The hash
+    family itself isn't in DuckDB; its recall is what this checks."""
     from xwikire_spark.operators.dedup import near_duplicates_minhash
 
     return near_duplicates_minhash(
@@ -802,10 +940,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash banding (rows-only)."""
-    from xwikire_spark.operators.dedup import simhash
+    """SimHash banding — md5-bit flavor (dedup.simhash_md5), which both
+    engines can compute, so bands + fingerprint are value-hash checked;
+    the xxhash64 production flavor shares the identical vote/band logic."""
+    from xwikire_spark.operators.dedup import simhash_md5
 
-    return simhash(_load(spark, sf_dir, "documents"))
+    return simhash_md5(_load(spark, sf_dir, "documents"))
 
 
 def q_ann_topk_cosine(spark, sf_dir):
@@ -847,6 +987,164 @@ def q_txt_langid(spark, sf_dir):
     from xwikire_spark.operators.textstats import language_id
 
     return language_id(_load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Generated oracles for the hash-family operators: the hash constants /
+# rule tables live in ONE place (the operator modules) and both engines'
+# expressions are generated from them.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_lsh_oracle_sql(threshold: float = 0.8, k: int = 3) -> str:
+    """Exact corpus-wide k-shingle-set Jaccard pairs — the ground truth the
+    LSH pipeline must reproduce (its verify stage is exact, so precision is
+    1.0; this oracle therefore checks recall AND values)."""
+    shingle = " || ' ' || ".join(f"ws[i + {j}]" for j in range(k))
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {shingle} AS shingle
+  FROM w, unnest(generate_series(1, greatest(len(ws) - {k - 1}, 0))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {threshold}
+"""
+
+
+def _simhash_md5_oracle_sql() -> str:
+    """Same md5-hex-digit bit votes as dedup.simhash_md5, generated."""
+
+    def digit(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+
+    votes = ",\n    ".join(
+        f"SUM(2 * (({digit(b // 4)} // {1 << (b % 4)}) % 2) - 1) AS v{b}"
+        for b in range(64)
+    )
+
+    def bit(b: int) -> str:
+        return f"(CASE WHEN v{b} >= 0 THEN 1 ELSE 0 END)"
+
+    bands = ",\n    ".join(
+        "CAST("
+        + " + ".join(f"{bit(16 * j + off)} * {1 << off}" for off in range(16))
+        + f" AS INT) AS band{j}"
+        for j in range(4)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM tok),
+votes AS (SELECT doc_id,
+    {votes}
+  FROM hashed GROUP BY doc_id),
+bands AS (SELECT doc_id,
+    {bands}
+  FROM votes)
+SELECT doc_id, band0, band1, band2, band3,
+       printf('%04x%04x%04x%04x', band0, band1, band2, band3) AS simhash_hex
+FROM bands
+"""
+
+
+def _ann_lsh_oracle_sql(
+    k: int = 5, n_bands: int = 4, planes_per_band: int = 5, dim: int = 64
+) -> str:
+    """The LSH-bucketed ANN, hyperplane constants inlined from the SAME
+    plane_component() the Spark operator uses. The projection is written as
+    an explicit left-associated sum chain — bit-identical to Spark's
+    sequential F.aggregate fold, so bucket signs can't drift."""
+    from xwikire_spark.operators.similarity import plane_component
+
+    def bucket_expr(v: str, band: int) -> str:
+        seed = 17 + band
+        terms = []
+        for p in range(planes_per_band):
+            proj = " + ".join(
+                f"{v}[{d + 1}] * {plane_component(seed, p, d)!r}"
+                for d in range(dim)
+            )
+            terms.append(
+                f"(CASE WHEN (0.0 + {proj}) >= 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    def banded(src: str, idc: str, v: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT {idc}, {band} AS band, {bucket_expr(v, band)} AS bucket"
+            f" FROM {src}"
+            for band in range(n_bands)
+        )
+
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+qs AS ({banded('q', 'query_id', 'qv')}),
+cs AS ({banded('c', 'neighbor_id', 'cv')}),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qs JOIN cs USING (band, bucket)
+  WHERE query_id <> neighbor_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_cosine_similarity(qv, cv) AS cos
+  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM (SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def _langid_oracle_sql() -> str:
+    """Marker scoring mirrored from textstats._LANG_PROFILES: the score is
+    total matched characters, so count(m) * len(m) is exactly
+    length(t) - length(replace(t, m, ''))."""
+    from xwikire_spark.operators.textstats import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+    scores = ",\n    ".join(
+        "("
+        + " + ".join(
+            f"(length(t) - length(replace(t, '{m}', '')))"
+            for m in _LANG_PROFILES[lang]
+        )
+        + f") AS s_{lang}"
+        for lang in langs
+    )
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    picks = "\n         ".join(
+        f"WHEN s_{lang} = g THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+s AS (SELECT doc_id,
+    {scores}
+  FROM lowered),
+m AS (SELECT *, greatest({all_scores}) AS g FROM s)
+SELECT doc_id,
+       CASE WHEN g <= 0 THEN 'und'
+         {picks}
+       END AS pred_lang
+FROM m
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -918,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": KG_TRIPLES_SQL,
         # the real pandas-UDF pipeline must reproduce the same result
         "kg_triples_pipeline": KG_TRIPLES_SQL,
+        "srl_export": SRL_EXPORT_SQL,
         "s1_range_scan": """
             SELECT l_returnflag, count(*) AS n_rows,
                    round(sum(l_quantity), 2) AS sum_qty
@@ -1306,6 +1605,9 @@ def oracle_sql() -> dict[str, str]:
                   FROM q, c WHERE neighbor_id <> query_id)
             WHERE rank <= 5
         """,
-        # rows-only (non-SQL-expressible hash families / UDF heuristics):
-        # dedup_minhash_lsh, dedup_simhash, ann_topk_lsh, txt_langid
+        # generated oracles — constants shared with the operator modules
+        "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
+        "dedup_simhash": _simhash_md5_oracle_sql(),
+        "ann_topk_lsh": _ann_lsh_oracle_sql(),
+        "txt_langid": _langid_oracle_sql(),
     }

@@ -19,9 +19,6 @@ class TestDriverContract:
         assert set(oracles) <= set(qs), set(oracles) - set(qs)
         # every query callable is, in fact, callable
         assert all(callable(f) for f in qs.values())
-        # rows-only set stays small and intentional
+        # every query is oracle-checked — no rows-only entries left
         rows_only = set(qs) - set(oracles)
-        assert rows_only == {
-            "dedup_minhash_lsh", "dedup_simhash", "ann_topk_lsh",
-            "txt_langid", "srl_export",
-        }, rows_only
+        assert rows_only == set(), rows_only

@@ -173,12 +173,21 @@ def jaccard_verify(
     pairs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.8,
+    shingle_k: int | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard on candidate pairs only.
-    Output: doc_a, doc_b, jaccard (>= threshold)."""
+    """Exact set-Jaccard on candidate pairs only. With ``shingle_k`` the
+    sets are k-word shingles — the SAME universe MinHash signatures hash
+    over, so verification is consistent with candidate generation (token
+    sets would accept pairs the signatures never modeled, and vice versa).
+    Output: doc_a, doc_b, jaccard (>= threshold, rounded to 6)."""
+    elems = (
+        _shingles(text_col, shingle_k)
+        if shingle_k
+        else F.split(F.col(text_col), " ")
+    )
     toks = docs.select(
         "doc_id",
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+        F.array_distinct(elems).alias("toks"),
     )
     j = (
         pairs.join(toks.withColumnRenamed("doc_id", "doc_a")
@@ -195,7 +204,7 @@ def jaccard_verify(
         )
     )
     return j.where(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "jaccard"
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -205,12 +214,16 @@ def near_duplicates_minhash(
     n_hashes: int = 32,
     n_bands: int = 8,
     threshold: float = 0.8,
+    k: int = 3,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
-    exact Jaccard verify. The canonical web-corpus dedup shape."""
-    sigs = minhash_signatures(docs, text_col, n_hashes)
+    exact shingle-Jaccard verify (the same k-shingle universe the
+    signatures estimate). The canonical web-corpus dedup shape; because
+    the verify step is exact, output precision is 1.0 by construction and
+    the exact corpus-wide shingle-Jaccard pair set is a valid oracle."""
+    sigs = minhash_signatures(docs, text_col, n_hashes, k=k)
     cands = lsh_candidate_pairs(sigs, n_bands)
-    return jaccard_verify(docs, cands, text_col, threshold)
+    return jaccard_verify(docs, cands, text_col, threshold, shingle_k=k)
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -248,6 +261,66 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     return out
+
+
+def simhash_md5(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-engine-checkable SimHash flavor: 64 bits per token derived from
+    md5 hex digits (md5 is the one 128-bit hash Spark and DuckDB share), bit
+    votes as ONE explode + groupBy hash aggregate (map-side partial combine;
+    the per-bit aggregate-over-transform alternative makes Catalyst
+    re-inline the token hashing 64x — the measured O(n*k) inlining trap).
+
+    Output: doc_id, band0..band3 (16-bit ints, the LSH bucketing keys) and
+    simhash_hex (the full fingerprint as hex — hex sidesteps the signed-64
+    mismatch between Spark LONG and DuckDB HUGEINT). ``simhash`` (xxhash64)
+    stays the production default; this flavor exists so the banding logic
+    has a value-hash DuckDB oracle. Same plan shape, same scale story.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    # hex digit i (0-based from the left) of md5(tok), as 0..15
+    digits = toks.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"locate(substring(md5(tok), {i + 1}, 1),"
+                f" '0123456789abcdef') - 1"
+            ).alias(f"d{i}")
+            for i in range(16)
+        ],
+    )
+    # vote for bit b (= bit b%4 of digit b//4): +1 if set, -1 if clear
+    votes = digits.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"2 * ((d{b // 4} div {1 << (b % 4)}) % 2) - 1")
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"v{b}") >= 0, F.lit(1)).otherwise(F.lit(0))
+        for b in range(64)
+    ]
+    bands = []
+    for j in range(4):
+        band = F.lit(0)
+        for off in range(16):
+            band = band + F.shiftleft(bits[16 * j + off], off)
+        bands.append(band.cast("int").alias(f"band{j}"))
+    out = votes.select("doc_id", *bands)
+    return out.select(
+        "doc_id",
+        "band0",
+        "band1",
+        "band2",
+        "band3",
+        F.format_string(
+            "%04x%04x%04x%04x",
+            F.col("band0"), F.col("band1"), F.col("band2"), F.col("band3"),
+        ).alias("simhash_hex"),
+    )
 
 
 def ngram_jaccard_pairs_within_groups(

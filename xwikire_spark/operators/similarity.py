@@ -75,6 +75,17 @@ def cosine_topk_bruteforce(
     )
 
 
+def plane_component(seed: int, p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]
+    (splitmix64-ish, pure integer math) — module-level so the DuckDB oracle
+    in __spark_entry__ can inline the IDENTICAL constants."""
+    x = (seed * 0x9E3779B97F4A7C15 + p * 0xBF58476D1CE4E5B9
+         + d * 0x94D049BB133111EB) % (2**64)
+    x ^= x >> 31
+    x = (x * 0xD6E8FEB86659FD93) % (2**64)
+    return ((x % 2_000_001) / 1_000_000.0) - 1.0
+
+
 def random_hyperplane_signature(
     vectors: DataFrame,
     n_planes: int = 16,
@@ -90,18 +101,12 @@ def random_hyperplane_signature(
     executors and runs with zero data movement.
     Output: vec_id, bucket (long).
     """
-
-    def _plane_component(p: int, d: int) -> float:
-        # deterministic pseudo-random in [-1, 1] (splitmix64-ish, pure int)
-        x = (seed * 0x9E3779B97F4A7C15 + p * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) % (2**64)
-        x ^= x >> 31
-        x = (x * 0xD6E8FEB86659FD93) % (2**64)
-        return ((x % 2_000_001) / 1_000_000.0) - 1.0
-
     v = F.col(vec_col).cast("array<double>")
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
+        plane = F.array(
+            *[F.lit(plane_component(seed, p, d)) for d in range(dim)]
+        )
         proj = _dot(v, plane)
         bits.append(
             F.when(proj >= 0, F.lit(1).cast("long")).otherwise(

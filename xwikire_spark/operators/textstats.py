@@ -9,8 +9,6 @@ the 100 TB corpus needs.
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -91,21 +89,27 @@ _LANG_PROFILES = {
 }
 
 
+def langid_score(text: str, lang: str) -> int:
+    """Integer marker score: total matched characters (occurrences x marker
+    length). Integer on purpose — the DuckDB oracle reproduces it exactly
+    ((length(t) - length(replace(t, m, ''))) is the same quantity), which a
+    sqrt-weighted float score would not survive cross-engine."""
+    return sum(text.count(m) * len(m) for m in _LANG_PROFILES[lang])
+
+
 def make_langid_udf():
     """text -> predicted language code (pandas UDF; n-gram hit scoring with
-    length-weighted markers; deterministic ties by lang code)."""
+    marker-length weights; deterministic ties by lang code, 'und' when no
+    marker hits)."""
 
     @F.pandas_udf(StringType())
     def langid(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
             t = (t or "").lower()
-            best_lang, best_score = "und", 0.0
+            best_lang, best_score = "und", 0
             for lang in sorted(_LANG_PROFILES):
-                score = sum(
-                    t.count(m) * math.sqrt(len(m))
-                    for m in _LANG_PROFILES[lang]
-                )
+                score = langid_score(t, lang)
                 if score > best_score:
                     best_lang, best_score = lang, score
             out.append(best_lang)
