@@ -482,11 +482,16 @@ def q_j10_nway_membership(spark, sf_dir):
     """J10: present-in-all-classes via groupBy count (cross-language id
     intersection analog, split_entity.py:36-53)."""
     o = _load(spark, sf_dir, "orders")
-    n_status = o.select("o_orderstatus").distinct().count()
+    # lazy scalar "subquery": the 1-row distinct count joins in broadcast —
+    # no eager .count() action at plan-build time
+    n_status = o.select(
+        F.countDistinct("o_orderstatus").alias("_n_all")
+    )
     return (
         o.groupBy("o_custkey")
         .agg(F.countDistinct("o_orderstatus").alias("n_status"))
-        .where(F.col("n_status") == n_status)
+        .crossJoin(F.broadcast(n_status))
+        .where(F.col("n_status") == F.col("_n_all"))
         .select("o_custkey")
     )
 
@@ -586,14 +591,32 @@ def q_w4_class_balance(spark, sf_dir):
     )
 
 
+def q_w4_round_robin(spark, sf_dir):
+    """W4 full parity (balance_relation.py:21-70): q_id-style dedup
+    (one event per user), seeded deterministic shuffle (md5 order), then
+    round-robin across classes to the limit."""
+    from xwikire_spark.operators.splits import round_robin_balance
+
+    e = _load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    out = round_robin_balance(
+        e, class_col="event_type", limit=200, order_col="event_id",
+        dedup_col="user_id", seed=7,
+    )
+    return out.select("event_id", "event_type")
+
+
 def q_w6_topk(spark, sf_dir):
-    """W6: deterministic top-k (limit of ranked rows)."""
+    """W6: deterministic top-k. orderBy().limit() compiles to
+    TakeOrderedAndProject — per-partition top-100 then a 100-row merge —
+    instead of a single-partition sort of the whole table; rank is derived
+    AFTER the limit, so its window sees only 100 rows."""
     o = _load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 100)
-        .select("rank", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    top = o.select("o_orderkey", "o_totalprice").orderBy(*order).limit(100)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order))).select(
+        "rank", "o_orderkey", F.round("o_totalprice", 2).alias("price")
     )
 
 
@@ -773,8 +796,13 @@ def q_kg_canonical_map(spark, sf_dir):
         F.col("p_brand").alias("brand"),
         F.explode(F.split("p_name", " ")).alias("tok"),
     ).distinct()
-    a = toks.alias("a")
-    b = toks.alias("b")
+    # stop-token guard (mirrored in the oracle): a token shared by > 1000
+    # brands is non-discriminative and makes the self-join bucket quadratic
+    sized = toks.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    ).where(F.col("_n") <= 1000).drop("_n")
+    a = sized.alias("a")
+    b = sized.alias("b")
     edges = (
         a.join(b, "tok")
         .where(F.col("a.brand") < F.col("b.brand"))
@@ -1181,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_first_per_group": q_a9_first_per_group,
         "w2_stratified_sample": q_w2_stratified_sample,
         "w4_class_balance": q_w4_class_balance,
+        "w4_round_robin": q_w4_round_robin,
         "w6_topk": q_w6_topk,
         "so_setops": q_so_setops,
         "x6_char_span": q_x6_char_span,
@@ -1342,6 +1371,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n, min(event_id) AS first_id
             FROM capped GROUP BY event_type
         """,
+        "w4_round_robin": """
+            WITH dedup AS (
+              SELECT event_id, event_type
+              FROM (SELECT event_id, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY event_id) AS dd
+                    FROM events) WHERE dd = 1
+            ),
+            ord AS (
+              SELECT event_id, event_type,
+                     md5(CAST(event_id AS VARCHAR) || '#7') AS o
+              FROM dedup
+            ),
+            rounds AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY o) AS rnd
+              FROM ord
+            )
+            SELECT event_id, event_type
+            FROM (SELECT *, row_number() OVER (
+                      ORDER BY rnd, event_type, o) AS pick
+                  FROM rounds) WHERE pick <= 200
+        """,
         "w6_topk": """
             SELECT CAST(rank AS INT) AS rank, o_orderkey,
                    round(o_totalprice, 2) AS price
@@ -1488,9 +1540,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT p_brand AS brand, unnest(string_split(p_name, ' ')) AS tok
               FROM part
             ),
+            sized AS (
+              SELECT brand, tok FROM (
+                SELECT *, count(*) OVER (PARTITION BY tok) AS n FROM toks)
+              WHERE n <= 1000
+            ),
             edges AS (
               SELECT DISTINCT a.brand AS src, b.brand AS dst
-              FROM toks a JOIN toks b ON a.tok = b.tok
+              FROM sized a JOIN sized b ON a.tok = b.tok
               WHERE a.brand <> b.brand
             ),
             reach(node, lab) AS (

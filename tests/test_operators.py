@@ -156,6 +156,39 @@ class TestVocabAndSplits:
         # 6 picks round-robin over 3 classes -> 2 each
         assert {r.cls: r["count"] for r in got} == {"x": 2, "y": 2, "z": 2}
 
+    def test_round_robin_dedup_and_seed(self, spark):
+        # reference balance_relation.py:49-58: keep_all=False dedups on
+        # q_id before balancing; random.shuffle -> seeded md5 order here
+        from xwikire_spark.operators.splits import round_robin_balance
+
+        rows = [{"cls": c, "id": i * 10 + j, "q": f"q{j % 2}"}
+                for i, c in enumerate(["x", "y"]) for j in range(6)]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        out = round_robin_balance(
+            df, "cls", limit=4, order_col="id", dedup_col="q", seed=3
+        ).collect()
+        # dedup keeps one row per q value (2 qs) -> 2 rows total pre-limit
+        assert len(out) == 2
+        # seeded order is deterministic across partitionings
+        again = round_robin_balance(
+            df.repartition(5), "cls", limit=4, order_col="id",
+            dedup_col="q", seed=3,
+        ).collect()
+        assert sorted(r.id for r in out) == sorted(r.id for r in again)
+
+    def test_collision_edges_hot_alias_guard(self, spark):
+        # one alias shared by 50 entities would emit 1225 edges; with the
+        # stop-surface guard it emits none, while specific aliases still
+        # connect their entities
+        from xwikire_spark.pipeline.canonicalize import collision_edges
+
+        hot = [{"alias": "the company", "entity_id": f"Q{i}"}
+               for i in range(50)]
+        cold = [{"alias": "acme", "entity_id": q} for q in ("Q1", "Q2")]
+        df = spark.createDataFrame(pd.DataFrame(hot + cold))
+        edges = collision_edges(df, max_bucket=10).collect()
+        assert {(r.src, r.dst) for r in edges} == {("Q1", "Q2")}
+
 
 class TestConnectedComponentsSkew:
     def test_hot_vertex_star_graph(self, spark):

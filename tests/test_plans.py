@@ -5,6 +5,7 @@ import pandas as pd
 
 from xwikire_spark.plans.inspection import (
     count_exchanges,
+    physical_plan,
     python_eval_count,
     scan_read_schemas,
 )
@@ -21,6 +22,88 @@ class TestFlagshipPlans:
             "doc_id" in s and "text" in s and "lang" not in s
             for s in schemas
         ), f"scan not pruned: {schemas}"
+
+    def test_global_rank_no_single_partition_exchange(self, spark):
+        # global_rank / sequential_splits / build_vocab must never funnel
+        # the ranked table through Exchange SinglePartition
+        import pandas as pd
+
+        from xwikire_spark.operators.splits import (
+            global_rank,
+            greedy_fold_packing,
+            sequential_splits,
+        )
+        from xwikire_spark.operators.vocab import build_vocab
+        from xwikire_spark.plans.inspection import (
+            single_partition_exchanges,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": range(100), "text": ["a b c"] * 100})
+        )
+        ranked = global_rank(df, ["id"])
+        assert single_partition_exchanges(ranked) == 0
+        # rank values are the exact total order
+        got = [r.rank for r in ranked.orderBy("id").collect()]
+        assert got == list(range(1, 101))
+
+        splits = sequential_splits(
+            df, {"test": 10, "dev": 20, "train": 10**9},
+            id_col="id", order_col="id",
+        )
+        assert single_partition_exchanges(splits) == 0
+        vocab = build_vocab(df)
+        assert single_partition_exchanges(vocab) == 0
+        counts = df.selectExpr("id as class", "id + 1 as count")
+        packing = greedy_fold_packing(counts)
+        # the single remaining SinglePartition is the final step of the
+        # 1-row max(rank) scalar aggregate (one partial row per partition),
+        # not a sort of the data
+        assert single_partition_exchanges(packing) <= 1
+
+    def test_topk_uses_take_ordered(self, spark):
+        import __spark_entry__ as e
+        from xwikire_spark.plans.inspection import (
+            physical_plan as pp,
+            single_partition_exchanges,
+        )
+
+        df = e.q_w6_topk(spark, "/root/testdata/sf0.001")
+        plan = pp(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        # the only remaining single-partition step is the 100-row rank
+        # window above the limit, never the full table
+        assert single_partition_exchanges(df) <= 1
+
+    def test_facts_object_join_not_broadcast(self, spark):
+        # J3: the wikibase object side is the FULL entity table — the plan
+        # must not force a broadcast (SURVEY §2.3; a hint would OOM at
+        # Wikidata scale). Only the reduced unit dim may be broadcast.
+        import pandas as pd
+
+        from xwikire_spark.pipeline.facts import build_facts
+
+        claims = spark.createDataFrame(pd.DataFrame([
+            dict(claim_id=f"c{i}", entity_id=f"Q{i}", pid="P1",
+                 datatype="wikibase-entityid", string_type=None,
+                 string_value=None, object_id=f"Q{i + 1}", amount=None,
+                 unit_uri=None, raw_time=None, precision=None)
+            for i in range(20)
+        ]))
+        entities = spark.createDataFrame(pd.DataFrame([
+            dict(entity_id=f"Q{i}", label=f"L{i}", aliases=[f"a{i}"])
+            for i in range(30)
+        ]))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            wikibase_only = build_facts(claims, entities).where(
+                "value_type = 'wikibase'"
+            )
+            plan = physical_plan(wikibase_only)
+            assert "BroadcastHashJoin" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
     def test_pipeline_single_python_stage(self, spark):
         from xwikire_spark import datagen

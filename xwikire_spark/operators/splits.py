@@ -11,8 +11,54 @@ operator below pins an explicit ORDER BY.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order: list[Column | str],
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable total-order rank (1-based row_number): range-repartition on
+    the order expressions, rank within each partition, then add the
+    cumulative count of all lower partitions.
+
+    This is the scale-safe replacement for ``row_number() OVER (ORDER BY
+    ...)``, whose physical plan is an Exchange SinglePartition + full sort
+    in ONE task — the classic 100x-scale killer. Here the data is sorted
+    range-partition-parallel; only the per-partition COUNTS (one row per
+    partition) meet on a single node, via a broadcast-joined triangular
+    self-join, so the plan contains no SinglePartition exchange at all and
+    stays fully lazy (no driver-side action at plan-build time).
+
+    ``order`` must define a total order (include a unique tiebreaker) or
+    ranks of tied rows straddling a partition boundary are arbitrary.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    parted = (
+        df.repartitionByRange(n_partitions, *cols)
+        if n_partitions
+        else df.repartitionByRange(*cols)
+    )
+    ranked = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    )
+    counts = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"), F.col("b._pid") < F.col("a._pid"), "left"
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._n"), F.lit(0)).alias("_off"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, F.col("_rn") + F.col("_off"))
+        .drop("_pid", "_rn", "_off")
+    )
 
 
 def greedy_fold_packing(
@@ -23,17 +69,22 @@ def greedy_fold_packing(
 ) -> DataFrame:
     """Reference src/split_rel.py:24-52: sort classes by count desc, pair
     rank i with rank N+1-i (largest with smallest), assign pair p to fold
-    p % n_folds. Output: class, count, fold."""
-    w = Window.orderBy(F.desc(count_col), F.asc(class_col))
-    ranked = class_counts.withColumn("rank", F.row_number().over(w))
-    total = ranked.agg(F.max("rank").alias("n")).first()["n"]
-    return ranked.select(
+    p % n_folds. Output: class, count, fold.
+
+    Rank is a distributed global_rank (class tables can reach hundreds of
+    millions of classes) and the total class count joins in as a broadcast
+    1-row aggregate — fully lazy, no driver-side .first() at plan time."""
+    ranked = global_rank(
+        class_counts, [F.desc(count_col), F.asc(class_col)]
+    )
+    total = ranked.agg(F.max("rank").alias("_total"))
+    return ranked.crossJoin(F.broadcast(total)).select(
         class_col,
         count_col,
         F.pmod(
-            F.least(F.col("rank"), F.lit(total + 1) - F.col("rank")) - 1,
+            F.least(F.col("rank"), F.col("_total") + 1 - F.col("rank")) - 1,
             F.lit(n_folds),
-        ).alias("fold"),
+        ).cast("int").alias("fold"),
     )
 
 
@@ -79,17 +130,47 @@ def round_robin_balance(
     class_col: str,
     limit: int,
     order_col: str,
+    dedup_col: str | None = None,
+    seed: int | None = None,
 ) -> DataFrame:
     """W4 (src/scripts/balance_relation.py:21-70): take one example per
-    class per round until ``limit`` — i.e. order by (round, class) and cut.
-    """
-    rnd = Window.partitionBy(class_col).orderBy(order_col)
-    glob = Window.orderBy("round", class_col, order_col)
+    class per round until ``limit``. Reference options mirrored:
+
+    - ``dedup_col``: keep one example per dedup value before balancing
+      (the reference's ``keep_all=False`` q_id dedup,
+      balance_relation.py:49-58) — first in ``order_col`` order;
+    - ``seed``: the reference random.shuffle()s before round-robin
+      (balance_relation.py:59); here the shuffle is a deterministic seeded
+      order md5(order_col # seed) — md5 so the DuckDB oracle reproduces it
+      exactly, and unlike rand(seed) it does not depend on partitioning.
+
+    The global pick order is a distributed global_rank, not a
+    single-partition window."""
+    out = rows
+    if dedup_col is not None:
+        w_d = Window.partitionBy(dedup_col).orderBy(order_col)
+        out = (
+            out.withColumn("_dd", F.row_number().over(w_d))
+            .where(F.col("_dd") == 1)
+            .drop("_dd")
+        )
+    order_expr = (
+        F.md5(
+            F.concat_ws("#", F.col(order_col).cast("string"), F.lit(str(seed)))
+        )
+        if seed is not None
+        else F.col(order_col)
+    )
+    out = out.withColumn("_ord", order_expr)
+    rnd = Window.partitionBy(class_col).orderBy("_ord")
+    ranked = global_rank(
+        out.withColumn("_round", F.row_number().over(rnd)),
+        ["_round", class_col, "_ord"],
+        rank_col="_pick",
+    )
     return (
-        rows.withColumn("round", F.row_number().over(rnd))
-        .withColumn("pick", F.row_number().over(glob))
-        .where(F.col("pick") <= limit)
-        .drop("round", "pick")
+        ranked.where(F.col("_pick") <= limit)
+        .drop("_round", "_pick", "_ord")
     )
 
 
@@ -100,22 +181,34 @@ def sequential_splits(
     order_col: str,
 ) -> DataFrame:
     """W5 (src/split_entity.py:115-138): draw test, then dev, then train
-    from a shrinking pool (anti-join chain J8). Output adds ``split``."""
-    remaining = pool
-    out = None
-    for split_name, n in sizes.items():
-        w = Window.orderBy(order_col)
-        taken = (
-            remaining.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= n)
-            .drop("rn")
-            .withColumn("split", F.lit(split_name))
+    from a shrinking pool. Output adds ``split``.
+
+    The shrinking pool is equivalent to ONE total-order rank with
+    cumulative-size thresholds (the k-window + anti-join chain sorted the
+    whole pool once per split, each in a single partition); rank comes from
+    the distributed global_rank, so no SinglePartition exchange remains."""
+    ranked = global_rank(pool, [order_col])
+    expr = None
+    cum = 0
+    names = list(sizes)
+    for split_name in names[:-1]:
+        cum += sizes[split_name]
+        cond = F.col("rank") <= cum
+        expr = (
+            F.when(cond, F.lit(split_name))
+            if expr is None
+            else expr.when(cond, F.lit(split_name))
         )
-        out = taken if out is None else out.unionByName(taken)
-        remaining = remaining.join(
-            taken.select(id_col), id_col, "left_anti"
-        )
-    return out
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    # rows beyond the total requested size are NOT drawn (the reference's
+    # pool can run dry mid-split but never over-draws)
+    total = cum + sizes[names[-1]]
+    return (
+        ranked.where(F.col("rank") <= total)
+        .withColumn("split", expr)
+        .drop("rank")
+    )
 
 
 def duplicate_ids_across_splits(

@@ -3,15 +3,18 @@
 The reference iterates every document updating a Counter, then writes
 rank-ordered ids offset by 4 reserved tokens (PAD/UNK/BOS/EOS,
 src/utils/vocabs.py:60-71). Spark shape: explode -> hash-aggregate
-(partial+final) -> rank window. The global rank window is the only
-single-partition step; for 100 TB vocabularies cut the tail first
-(``min_count``) so the ranked set fits one task comfortably.
+(partial+final) -> distributed global_rank (range-partitioned rank +
+per-partition offsets) — no single-partition sort anywhere, so a 100 TB
+vocabulary ranks in parallel; ``min_count`` additionally cuts the long
+tail before ranking.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from xwikire_spark.operators.splits import global_rank
 
 N_RESERVED = 4  # PAD/UNK/BOS/EOS (src/utils/vocabs.py:60-66)
 
@@ -36,10 +39,14 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("count"))
         .where(F.col("count") >= min_count)
     )
-    w = Window.orderBy(F.desc("count"), F.asc("token"))
-    return counts.withColumn(
-        "vocab_id", F.row_number().over(w) + N_RESERVED
-    )
+    return _ranked_vocab(counts)
+
+
+def _ranked_vocab(counts: DataFrame) -> DataFrame:
+    ranked = global_rank(counts, [F.desc("count"), F.asc("token")])
+    return ranked.withColumn(
+        "vocab_id", (F.col("rank") + N_RESERVED).cast("int")
+    ).drop("rank")
 
 
 def char_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -52,10 +59,7 @@ def char_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    w = Window.orderBy(F.desc("count"), F.asc("token"))
-    return counts.withColumn(
-        "vocab_id", F.row_number().over(w) + N_RESERVED
-    )
+    return _ranked_vocab(counts)
 
 
 def oov_coverage(

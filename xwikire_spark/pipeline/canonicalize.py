@@ -26,17 +26,37 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_SALTS = 8
 
+# An alias shared by more entities than this is non-discriminative (a
+# stop-surface like "the company") and its pair fan-out is quadratic —
+# the same stop-bucket guard as LSH banding (operators/dedup.py).
+DEFAULT_MAX_ALIAS_FANOUT = 1000
 
-def collision_edges(alias_dict: DataFrame) -> DataFrame:
+
+def collision_edges(
+    alias_dict: DataFrame, max_bucket: int = DEFAULT_MAX_ALIAS_FANOUT
+) -> DataFrame:
     """Edges between entity_ids sharing a surface (undirected, deduped).
-    Output: src, dst with src < dst."""
-    a = alias_dict.select("alias", F.col("entity_id").alias("src"))
-    b = alias_dict.select("alias", F.col("entity_id").alias("dst"))
+    Output: src, dst with src < dst.
+
+    ``max_bucket`` drops surfaces shared by more than that many entities
+    BEFORE the self-join — one hot alias otherwise contributes O(n²) edges
+    and a single skewed join bucket. Real synonym clusters still connect
+    through their specific (low-fanout) surfaces."""
+    base = alias_dict.select("alias", "entity_id").distinct()
+    sized = (
+        base.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("alias"))
+        )
+        .where(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    a = sized.select("alias", F.col("entity_id").alias("src"))
+    b = sized.select("alias", F.col("entity_id").alias("dst"))
     return (
         a.join(b, "alias")
         .where(F.col("src") < F.col("dst"))

@@ -38,13 +38,17 @@ def build_facts(
     claims: DataFrame, entities: DataFrame, lang: str = "en"
 ) -> DataFrame:
     """claims x entities -> typed fact rows (the tagged union of
-    src/builders/MergedWikis.py:156-180 as explicit nullable columns)."""
-    ent = F.broadcast(
-        entities.select(
-            F.col("entity_id").alias("object_id"),
-            F.col("label").alias("object_label"),
-            F.col("aliases").alias("object_aliases"),
-        )
+    src/builders/MergedWikis.py:156-180 as explicit nullable columns).
+
+    Scale note (SURVEY §2.3 J3): the object side of the wikibase join is
+    the FULL entity table (~100M rows at Wikidata scale) — deliberately NO
+    broadcast hint; it is a shuffle hash join with AQE handling skew. Only
+    dimensions that are provably small after reduction (the distinct-unit
+    dim below) get broadcast."""
+    ent = entities.select(
+        F.col("entity_id").alias("object_id"),
+        F.col("label").alias("object_label"),
+        F.col("aliases").alias("object_aliases"),
     )
 
     # string facts (src:156-160)
@@ -80,17 +84,24 @@ def build_facts(
         )
     )
 
-    # quantity facts (src:168-175): left join — unknown unit renders bare
+    # quantity facts (src:168-175): left join — unknown unit renders bare.
+    # The unit dimension is entities REDUCED to the units actually used
+    # (distinct unit ids is a tiny partial-combine aggregate of the claims'
+    # unit column), THEN broadcast — broadcasting the raw entity table here
+    # would OOM at the same scale as the wikibase join above.
+    quantity_claims = claims.where(F.col("datatype") == "quantity").withColumn(
+        "unit_id", unit_id_from_uri(F.col("unit_uri"))
+    )
+    used_units = quantity_claims.select("unit_id").distinct()
     unit_dim = F.broadcast(
         entities.select(
             F.col("entity_id").alias("unit_id"),
             F.col("label").alias("unit_label"),
-        )
+        ).join(used_units, "unit_id", "left_semi")
     )
     amount = F.regexp_replace(F.col("amount"), r"^\+", "")
     quantities = (
-        claims.where(F.col("datatype") == "quantity")
-        .withColumn("unit_id", unit_id_from_uri(F.col("unit_uri")))
+        quantity_claims
         .join(unit_dim, "unit_id", "left")
         .select(
             "entity_id",
@@ -145,12 +156,13 @@ def universal_schema_export(
             F.broadcast(prop_whitelist.select(F.col("pid"))), "pid",
             "left_semi",
         )
-    ent = F.broadcast(
-        entities.select(
-            "entity_id",
-            F.col("label").alias("entity_label"),
-            F.col("aliases").alias("entity_aliases"),
-        )
+    # entity-label join: full entity table — no broadcast hint (J3 scale
+    # rule); the property dim IS small (thousands of pids) so it stays
+    # broadcast.
+    ent = entities.select(
+        "entity_id",
+        F.col("label").alias("entity_label"),
+        F.col("aliases").alias("entity_aliases"),
     )
     props = F.broadcast(
         prop_dim.select(

@@ -28,6 +28,13 @@ def count_exchanges(df: DataFrame) -> int:
         re.findall(r"\bExchange rangepartitioning", plan)
     )
 
+def single_partition_exchanges(df: DataFrame) -> int:
+    """Number of Exchange SinglePartition operators — the global-sort /
+    global-window scale killer (the whole input serializes through ONE
+    task). Scale-safe plans over big inputs must show zero."""
+    return len(re.findall(r"Exchange SinglePartition", optimized_plan(df)))
+
+
 def count_broadcasts(df: DataFrame) -> int:
     return len(re.findall(r"BroadcastExchange|BroadcastHashJoin",
                           optimized_plan(df)))
