@@ -88,6 +88,47 @@ class TestExtraction:
                   if (f.conv_id, f.pid) not in by_conv_pid]
         assert not missed, missed[:5]
 
+    def test_join_strategy_matches_broadcast(self, spark, corpus):
+        """The join-based dictionary path (no broadcast, dictionaries stay
+        distributed) must reproduce the fused-automaton path exactly —
+        including overlapping-alias consumption (Einstein inside Albert
+        Einstein) and alias collisions (Paris -> Q4 and Q9)."""
+        _, _, transcripts, alias_df, pred_df = corpus
+        cols = TRIPLE_KEY + ["sent_idx", "subj_surface", "pred_surface",
+                             "obj_surface"]
+        a = {tuple(r[k] for k in cols)
+             for r in extract_triples(transcripts, alias_df, pred_df)
+             .select(*cols).collect()}
+        b = {tuple(r[k] for k in cols)
+             for r in extract_triples(
+                 transcripts, alias_df, pred_df, dict_strategy="join")
+             .select(*cols).collect()}
+        assert a == b, (
+            f"broadcast-only={list(a - b)[:3]} join-only={list(b - a)[:3]}"
+        )
+
+    def test_join_strategy_100k_surface_dictionary(self, spark, corpus):
+        """A >100k-surface alias dictionary through the join path: the
+        padding surfaces never occur in the corpus, so the result must be
+        identical to the small-dictionary run — and the dictionary is never
+        collected to the driver."""
+        _, _, transcripts, alias_df, pred_df = corpus
+        pad = spark.range(100_000).select(
+            F.concat(F.lit("zqx"), F.col("id"), F.lit("pad"),
+                     F.col("id")).alias("alias"),
+            F.concat(F.lit("QPAD"), F.col("id")).alias("entity_id"),
+        )
+        big = alias_df.select("alias", "entity_id").unionByName(pad)
+        small = {tuple(r[k] for k in TRIPLE_KEY)
+                 for r in extract_triples(
+                     transcripts, alias_df, pred_df, dict_strategy="join")
+                 .select(*TRIPLE_KEY).collect()}
+        padded = {tuple(r[k] for k in TRIPLE_KEY)
+                  for r in extract_triples(
+                      transcripts, big, pred_df, dict_strategy="join")
+                  .select(*TRIPLE_KEY).collect()}
+        assert small == padded
+
     def test_triple_id_is_reference_sha1(self, spark, corpus):
         import hashlib
 

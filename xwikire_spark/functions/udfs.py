@@ -110,21 +110,29 @@ def _compile_dictionary(surfaces: list[tuple[str, str]]):
     return pattern, ids
 
 
-def make_mention_udf(surfaces: list[tuple[str, str]]):
+def unwrap_broadcast(surfaces):
+    """(surface, id) pairs, from a plain list OR a pyspark Broadcast."""
+    return surfaces.value if hasattr(surfaces, "value") else surfaces
+
+
+def make_mention_udf(surfaces):
     """Scalar-iterator pandas UDF: sentence -> array of dictionary mentions.
 
-    ``surfaces`` is the collected (surface, id) dimension — small enough to
-    ship in the closure (the reference's whole property dictionary fits in a
-    process dict, src/builders/MergedWikis.py:28); the automaton compiles
-    once per task and is reused across Arrow batches. Id resolution happens
-    here too (one struct per id on collisions) so the pipeline needs no
-    resolution join. For dictionaries too large to broadcast, fall back to a
-    join-based token path.
+    ``surfaces`` is the (surface, id) dimension as a
+    ``SparkContext.broadcast`` handle (preferred: the pairs ship to each
+    executor ONCE via the torrent broadcast, not re-pickled into every task
+    closure — the Spark analog of the reference's process-lifetime
+    _prop_cache, src/builders/MergedWikis.py:28) or a plain list (tests /
+    tiny dicts). The automaton compiles once per task and is reused across
+    Arrow batches. Id resolution happens here too (one struct per id on
+    collisions) so the pipeline needs no resolution join. For dictionaries
+    too large to broadcast at all, use the join-based token path
+    (pipeline.extraction.detect_mentions_join).
     """
 
     @F.pandas_udf(MENTIONS_SCHEMA)
     def mention_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        pattern, ids = _compile_dictionary(surfaces)
+        pattern, ids = _compile_dictionary(unwrap_broadcast(surfaces))
         for texts in batches:
             out = []
             for t in texts:
@@ -145,6 +153,36 @@ def make_mention_udf(surfaces: list[tuple[str, str]]):
             yield pd.Series(out)
 
     return mention_udf
+
+
+# ---------------------------------------------------------------------------
+# Word-run offsets: sentence -> array<struct<tok, pos>> of unicode \w+ runs
+# with 0-based char starts. Dictionary-FREE (nothing in the closure) — the
+# tokenization half of the join-based mention path for dictionaries too
+# large to broadcast; the dictionary side stays a DataFrame and meets these
+# tokens in a shuffle equi-join (extraction.detect_mentions_join).
+# ---------------------------------------------------------------------------
+
+_WORD_RUN = re.compile(r"\w+", re.UNICODE)
+
+WORD_OFFSETS_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("tok", StringType()),
+            StructField("pos", IntegerType()),
+        ]
+    )
+)
+
+word_offsets_udf = F.pandas_udf(
+    lambda s: s.map(
+        lambda t: [
+            {"tok": m.group(), "pos": m.start()}
+            for m in _WORD_RUN.finditer(t or "")
+        ]
+    ),
+    WORD_OFFSETS_SCHEMA,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,12 @@ def _predicate_surface_ids(predicate_dict: DataFrame) -> list[tuple[str, str]]:
     return out
 
 
+def _bc(df: DataFrame, pairs: list[tuple[str, str]]):
+    """Ship dictionary pairs via SparkContext.broadcast: one torrent
+    transfer per executor instead of a pickle in every task closure."""
+    return df.sparkSession.sparkContext.broadcast(pairs)
+
+
 def detect_mentions(sentences: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """Attach entity mentions: longest whole-word dictionary match (X4
     generalized). Ids resolve inside the broadcast automaton (collisions
@@ -82,7 +88,7 @@ def detect_mentions(sentences: DataFrame, alias_dict: DataFrame) -> DataFrame:
 
     Output adds: surface, entity_id, m_start, m_end (one row per mention).
     """
-    udf = make_mention_udf(_alias_surface_ids(alias_dict))
+    udf = make_mention_udf(_bc(sentences, _alias_surface_ids(alias_dict)))
     return (
         sentences.withColumn("mentions", udf(F.col("sentence")))
         .where(F.size("mentions") > 0)
@@ -104,7 +110,9 @@ def detect_predicates(sentences: DataFrame, predicate_dict: DataFrame) -> DataFr
     """Attach predicate-surface matches (label + aliases,
     src/builders/SRL.py:36-39). Output: one row per predicate hit with
     pid, p_surface, p_start."""
-    udf = make_mention_udf(_predicate_surface_ids(predicate_dict))
+    udf = make_mention_udf(
+        _bc(sentences, _predicate_surface_ids(predicate_dict))
+    )
     return (
         sentences.withColumn("pm", udf(F.col("sentence")))
         .where(F.size("pm") > 0)
@@ -128,10 +136,7 @@ CANDIDATE_SCHEMA = (
 )
 
 
-def make_candidate_generator(
-    alias_pairs: list[tuple[str, str]],
-    pred_pairs: list[tuple[str, str]],
-):
+def make_candidate_generator(alias_pairs, pred_pairs):
     """Fused mapInPandas kernel: segment + both dictionary automatons +
     candidate emission in ONE Python pass per Arrow batch.
 
@@ -144,16 +149,22 @@ def make_candidate_generator(
     Semantics (identical to the oracle): earliest mention = subject, ties by
     entity id (src/builders/QA.py:80-84 first-match determinism); earliest
     predicate surface, ties by pid; every other-entity mention is an object.
+
+    ``alias_pairs`` / ``pred_pairs`` may be plain lists or
+    ``SparkContext.broadcast`` handles (preferred — one ship per executor).
     """
-    from xwikire_spark.functions.udfs import _compile_dictionary
+    from xwikire_spark.functions.udfs import (
+        _compile_dictionary,
+        unwrap_broadcast,
+    )
 
     def generate(batches):
         import pandas as pd
 
         from xwikire_spark.kernels.segmenter import segment_sentences
 
-        ap, aids = _compile_dictionary(alias_pairs)
-        pp, pids = _compile_dictionary(pred_pairs)
+        ap, aids = _compile_dictionary(unwrap_broadcast(alias_pairs))
+        pp, pids = _compile_dictionary(unwrap_broadcast(pred_pairs))
         cols = ("conv_id", "turn_idx", "sent_idx", "sentence", "subj",
                 "subj_surface", "pid", "p_surface", "obj", "obj_surface",
                 "obj_start")
@@ -208,39 +219,11 @@ def make_candidate_generator(
     return generate
 
 
-def extract_triples(
-    transcripts: DataFrame,
-    alias_dict: DataFrame,
-    predicate_dict: DataFrame,
-    n_partitions: int | None = None,
-) -> DataFrame:
-    """The flagship query: transcripts -> (subj, pred, obj) evidence triples.
-
-    Semantics: within one sentence, the earliest entity mention is the
-    subject; every other mention with a different entity_id is an object;
-    the earliest predicate surface is the relation. Exactly one evidence
-    sentence per (conv_id, subj, pred, obj) — the first in
-    (turn_idx, sent_idx, m_start) order (X5 first-match parity).
-    """
-    if n_partitions:
-        # explicit repartition by conv hash (north_rule); downstream
-        # aggregations reuse this hash family.
-        transcripts = transcripts.repartition(n_partitions, F.col("conv_id"))
-
-    # SINGLE Python pass (fused mapInPandas): segmentation + both automatons
-    # + candidate emission. Chained per-column UDFs cost 3 Arrow round-trips
-    # and re-execute in each DAG branch — measured 3-5x the kernel cost.
-    gen = make_candidate_generator(
-        _alias_surface_ids(alias_dict),
-        _predicate_surface_ids(predicate_dict),
-    )
-    cands = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
-        gen, CANDIDATE_SCHEMA
-    )
-
-    # first-evidence dedup as a min_by hash aggregate (partial combine
-    # map-side) — not a row_number sort window; the shuffle carries one row
-    # per (conv, subj, pred, obj) per map partition.
+def _first_evidence(cands: DataFrame) -> DataFrame:
+    """Candidate rows (CANDIDATE_SCHEMA) -> one evidence triple per
+    (conv_id, subj, pid, obj): first-evidence dedup as a min_by hash
+    aggregate (partial combine map-side) — not a row_number sort window;
+    the shuffle carries one row per key per map partition."""
     first = cands.groupBy("conv_id", "subj", "pid", "obj").agg(
         F.min_by(
             F.struct(
@@ -263,6 +246,249 @@ def extract_triples(
         F.col("ev.p_surface").alias("pred_surface"),
         F.col("ev.obj_surface").alias("obj_surface"),
     )
+
+
+def extract_triples(
+    transcripts: DataFrame,
+    alias_dict: DataFrame,
+    predicate_dict: DataFrame,
+    n_partitions: int | None = None,
+    dict_strategy: str = "broadcast",
+) -> DataFrame:
+    """The flagship query: transcripts -> (subj, pred, obj) evidence triples.
+
+    Semantics: within one sentence, the earliest entity mention is the
+    subject; every other mention with a different entity_id is an object;
+    the earliest predicate surface is the relation. Exactly one evidence
+    sentence per (conv_id, subj, pred, obj) — the first in
+    (turn_idx, sent_idx, m_start) order (X5 first-match parity).
+
+    ``dict_strategy``:
+    - "broadcast" (default): dictionaries collect to the driver once and
+      ship to executors via SparkContext.broadcast; one fused mapInPandas
+      does segmentation + both automatons + candidate emission. Right for
+      dictionaries that fit executor memory (the reference's whole property
+      dictionary is a process dict, src/builders/MergedWikis.py:28).
+    - "join": dictionaries NEVER leave the cluster — sentence word-runs
+      meet the dictionary's first tokens in a shuffle equi-join
+      (detect_mentions_join), candidates assemble relationally. Right for
+      transcript-scale alias dictionaries (10^8+ surfaces) where a
+      broadcast would OOM the executors.
+    """
+    if n_partitions:
+        # explicit repartition by conv hash (north_rule); downstream
+        # aggregations reuse this hash family.
+        transcripts = transcripts.repartition(n_partitions, F.col("conv_id"))
+
+    if dict_strategy == "join":
+        return extract_triples_join(transcripts, alias_dict, predicate_dict)
+
+    # SINGLE Python pass (fused mapInPandas): segmentation + both automatons
+    # + candidate emission. Chained per-column UDFs cost 3 Arrow round-trips
+    # and re-execute in each DAG branch — measured 3-5x the kernel cost.
+    gen = make_candidate_generator(
+        _bc(transcripts, _alias_surface_ids(alias_dict)),
+        _bc(transcripts, _predicate_surface_ids(predicate_dict)),
+    )
+    cands = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        gen, CANDIDATE_SCHEMA
+    )
+    return _first_evidence(cands)
+
+
+# ---------------------------------------------------------------------------
+# Join-based mention path: for dictionaries too large to broadcast.
+# ---------------------------------------------------------------------------
+
+_MATCH_STRUCT = (
+    "struct<start:int,neg_len:int,entity_id:string,surface:string,end:int>"
+)
+
+
+def detect_mentions_join(
+    sentences: DataFrame,
+    pairs: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx", "sent_idx"),
+) -> DataFrame:
+    """Dictionary mention detection WITHOUT shipping the dictionary: the
+    scale path when the alias table itself is cluster-sized.
+
+    Shape (all relational after a dictionary-free tokenizer UDF):
+    1. sentences -> (word-run token, char offset) rows — no dictionary in
+       the Python closure, just unicode \\w+ runs;
+    2. shuffle equi-join token == first word-run of each alias (the only
+       contact point between corpus and dictionary — scales as a plain
+       join, AQE handles hot first-tokens);
+    3. verify the full surface by substring equality at the candidate
+       offset + a word-boundary check after it (word-run starts are
+       boundaries by construction);
+    4. greedy leftmost-longest overlap resolution per sentence — the regex
+       automaton's finditer-consumption semantics (an earlier longer match
+       consumes the text under it; same-span alias collisions all emit) as
+       a sort_array + aggregate fold over the per-sentence match list.
+
+    Contract: aliases must start and end with word characters (regex \\b
+    parity); matching is case-sensitive like the broadcast path.
+
+    Input ``pairs``: DataFrame (alias, entity_id). Output matches
+    detect_mentions: keys + sentence, surface, entity_id, m_start, m_end.
+    """
+    from xwikire_spark.functions.udfs import word_offsets_udf
+
+    ks = list(keys)
+    toks = sentences.select(
+        *ks, "sentence", F.explode(word_offsets_udf(F.col("sentence"))).alias("w")
+    ).select(*ks, "sentence", F.col("w.tok").alias("tok"), F.col("w.pos").alias("pos"))
+
+    dic = (
+        pairs.select("alias", "entity_id")
+        .where(F.col("alias").isNotNull() & (F.col("alias") != ""))
+        .distinct()
+        .withColumn("tok", F.regexp_extract("alias", r"(?U)\w+", 0))
+        .where(F.col("tok") != "")
+    )
+
+    cand = toks.join(dic, "tok")
+    after = F.substring(
+        F.col("sentence"), F.col("pos") + F.length("alias") + 1, 1
+    )
+    verified = cand.where(
+        (
+            F.substring(F.col("sentence"), F.col("pos") + 1, F.length("alias"))
+            == F.col("alias")
+        )
+        & ~F.coalesce(F.regexp_like(after, F.lit(r"(?U)\w")), F.lit(False))
+    )
+
+    m = verified.select(
+        *ks,
+        "sentence",
+        F.struct(
+            F.col("pos").cast("int").alias("start"),
+            (-F.length("alias")).cast("int").alias("neg_len"),
+            F.col("entity_id").alias("entity_id"),
+            F.col("alias").alias("surface"),
+            (F.col("pos") + F.length("alias")).cast("int").alias("end"),
+        ).alias("m"),
+    )
+    grouped = m.groupBy(*ks, "sentence").agg(
+        F.sort_array(F.collect_list("m")).alias("ms")
+    )
+    # greedy fold: sorted by (start asc, longest first, id); accept a match
+    # when it starts at/after the consumed frontier, or shares the exact
+    # span of the last accepted match (alias collision -> one mention per id)
+    acc0 = F.struct(
+        F.lit(-1).alias("last_start"),
+        F.lit(0).alias("cur_end"),
+        F.array().cast(f"array<{_MATCH_STRUCT}>").alias("kept"),
+    )
+
+    def step(acc, x):
+        take = (x["start"] >= acc["cur_end"]) | (
+            (x["start"] == acc["last_start"]) & (x["end"] == acc["cur_end"])
+        )
+        return F.when(
+            take,
+            F.struct(
+                x["start"].alias("last_start"),
+                x["end"].alias("cur_end"),
+                F.array_append(acc["kept"], x).alias("kept"),
+            ),
+        ).otherwise(acc)
+
+    kept = F.aggregate(F.col("ms"), acc0, step)["kept"]
+    return grouped.select(
+        *ks, "sentence", F.explode(kept).alias("k")
+    ).select(
+        *ks,
+        "sentence",
+        F.col("k.surface").alias("surface"),
+        F.col("k.entity_id").alias("entity_id"),
+        F.col("k.start").alias("m_start"),
+        F.col("k.end").alias("m_end"),
+    )
+
+
+def _predicate_pairs_df(predicate_dict: DataFrame) -> DataFrame:
+    """(alias, entity_id=pid) rows over label + aliases — the DataFrame
+    twin of _predicate_surface_ids, never collected."""
+    lab = predicate_dict.select(
+        F.col("label").alias("alias"), F.col("pid").alias("entity_id")
+    )
+    ali = predicate_dict.select(
+        F.explode(F.coalesce("aliases", F.array())).alias("alias"),
+        F.col("pid").alias("entity_id"),
+    )
+    return lab.unionByName(ali)
+
+
+def extract_triples_join(
+    transcripts: DataFrame,
+    alias_dict: DataFrame,
+    predicate_dict: DataFrame,
+) -> DataFrame:
+    """extract_triples' "join" strategy: same semantics, dictionaries stay
+    distributed. Candidate assembly is relational: per-sentence earliest
+    mention (min struct aggregate) = subject, earliest predicate surface =
+    relation, every other-entity mention = object; then the shared
+    first-evidence min_by tail."""
+    ks = ["conv_id", "turn_idx", "sent_idx"]
+    sentences = (
+        transcripts.where(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode(segment_udf(F.col("text"))).alias(
+                "sent_idx", "sentence"
+            ),
+        )
+    )
+    mentions = detect_mentions_join(
+        sentences, alias_dict.select("alias", "entity_id")
+    )
+    preds = detect_mentions_join(
+        sentences, _predicate_pairs_df(predicate_dict)
+    )
+
+    # earliest mention / earliest predicate per sentence: min over structs
+    # ordered (start, id, surface) — the Python path's min(ms) exactly
+    subj = mentions.groupBy(*ks).agg(
+        F.min(
+            F.struct(
+                F.col("m_start").alias("s"),
+                F.col("entity_id").alias("subj"),
+                F.col("surface").alias("subj_surface"),
+            )
+        ).alias("sb")
+    )
+    pred = preds.groupBy(*ks).agg(
+        F.min(
+            F.struct(
+                F.col("m_start").alias("s"),
+                F.col("entity_id").alias("pid"),
+                F.col("surface").alias("p_surface"),
+            )
+        ).alias("pb")
+    )
+    cands = (
+        mentions.join(subj, ks)
+        .where(F.col("entity_id") != F.col("sb.subj"))
+        .join(pred, ks)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "sent_idx",
+            "sentence",
+            F.col("sb.subj").alias("subj"),
+            F.col("sb.subj_surface").alias("subj_surface"),
+            F.col("pb.pid").alias("pid"),
+            F.col("pb.p_surface").alias("p_surface"),
+            F.col("entity_id").alias("obj"),
+            F.col("surface").alias("obj_surface"),
+            F.col("m_start").alias("obj_start"),
+        )
+    )
+    return _first_evidence(cands)
 
 
 def pair_mentions_in_window(
