@@ -287,3 +287,60 @@ class TestArticles:
 
     def test_english_dummy(self):
         assert extract_article("The thing.", "The thing", lang="en") == ""
+
+
+class TestPerceptronTagger:
+    """X10 trained-tagger path: nltk.pos_tag architecture parity
+    (averaged perceptron, greedy decode) on the pinned fixture corpus."""
+
+    def test_training_is_deterministic(self):
+        from xwikire_spark.kernels.perceptron import train_tagger
+        from xwikire_spark.kernels.pos_data import TRAIN_CORPUS
+
+        assert train_tagger(TRAIN_CORPUS) == train_tagger(TRAIN_CORPUS)
+
+    def test_heldout_golden_accuracy(self):
+        # held-out sentences share no content verbs with training — this
+        # gates suffix/context generalization, which the 50-lemma rule
+        # tagger cannot do
+        from xwikire_spark.kernels.perceptron import tag_with_model
+        from xwikire_spark.kernels.pos import perceptron_model
+        from xwikire_spark.kernels.pos_data import HELDOUT_CORPUS
+
+        m = perceptron_model()
+        ok = tot = 0
+        for toks, tags in HELDOUT_CORPUS:
+            got = tag_with_model(toks, m)
+            ok += sum(g == t for g, t in zip(got, tags))
+            tot += len(tags)
+        assert ok / tot >= 0.9, f"held-out accuracy {ok}/{tot}"
+
+    def test_f7_verb_contract_on_unseen_verbs(self):
+        # the relation-verb filter (F7) must see VB* for verbs OUTSIDE the
+        # rule lexicon when the perceptron path is selected
+        from xwikire_spark.kernels.pos import (
+            contains_verb,
+            pos_tag,
+            pos_tag_perceptron,
+        )
+
+        # irregular past 'won': no -ed/-ing suffix, not in the rule
+        # lexicon -> the rule tagger calls it NN
+        toks = "The team won the prize .".split()
+        rule = pos_tag(toks)
+        perc = pos_tag_perceptron(toks)
+        assert not contains_verb(rule, 2, 3)  # rule lexicon misses it
+        assert contains_verb(perc, 2, 3)  # perceptron gets it
+
+    def test_pos_udf_with_broadcast_model(self, spark):
+        import pandas as pd
+
+        from xwikire_spark.functions.udfs import make_pos_udf
+        from xwikire_spark.kernels.pos import perceptron_model
+
+        bc = spark.sparkContext.broadcast(perceptron_model())
+        df = spark.createDataFrame(pd.DataFrame({
+            "toks": [["She", "organizes", "the", "archive", "."]]}))
+        from pyspark.sql import functions as F
+        row = df.select(make_pos_udf(bc)(F.col("toks")).alias("tags")).first()
+        assert row.tags == ["PRP", "VBZ", "DT", "NN", "."]

@@ -191,6 +191,31 @@ word_offsets_udf = F.pandas_udf(
 # ---------------------------------------------------------------------------
 
 
+def make_pos_udf(model):
+    """tokens array<string> -> PTB tags array<string> via the averaged
+    perceptron. ``model`` is the trained weight dict or a
+    SparkContext.broadcast of it — broadcast at cluster scale so the
+    weights ship once per executor (X10: the reference's nltk.pos_tag with
+    the model made an explicit, shippable artifact)."""
+    from xwikire_spark.kernels.perceptron import tag_with_model
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def pos_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        m = unwrap_broadcast(model)
+        for toks in batches:
+            yield pd.Series(
+                [
+                    tag_with_model(
+                        [] if t is None else list(t), m
+                    )
+                    for t in toks
+                ],
+                dtype="object",
+            )
+
+    return pos_udf
+
+
 def make_format_date_udf(lang: str = "en"):
     @F.pandas_udf(StringType())
     def date_udf(raw_time: pd.Series, precision: pd.Series) -> pd.Series:

@@ -82,6 +82,33 @@ def pos_tag(tokens: list[str]) -> list[str]:
 
 VERB_TAGS = {"VB", "VBD", "VBG", "VBN", "VBP", "VBZ"}
 
+# --- trained tagger (X10 parity path) ---------------------------------------
+
+_PERCEPTRON_MODEL: dict | None = None
+
+
+def perceptron_model() -> dict:
+    """The embedded-corpus averaged-perceptron model, trained once per
+    process (deterministic: pinned corpus + seeded shuffle). Driver-side
+    callers broadcast this dict into the tagging UDF; executor-side lazy
+    training yields the identical model."""
+    global _PERCEPTRON_MODEL
+    if _PERCEPTRON_MODEL is None:
+        from xwikire_spark.kernels.perceptron import train_tagger
+        from xwikire_spark.kernels.pos_data import TRAIN_CORPUS
+
+        _PERCEPTRON_MODEL = train_tagger(TRAIN_CORPUS)
+    return _PERCEPTRON_MODEL
+
+
+def pos_tag_perceptron(tokens: list[str]) -> list[str]:
+    """Averaged-perceptron tagging (nltk.pos_tag architecture parity) —
+    generalizes to verbs outside the rule lexicon via suffix/context
+    features. The rule tagger stays the pinned SRL-oracle contract."""
+    from xwikire_spark.kernels.perceptron import tag_with_model
+
+    return tag_with_model(tokens, perceptron_model())
+
 
 def contains_verb(tags: list[str], start: int, end: int) -> bool:
     """Any VB* tag within [start, end) — the relation-verb test

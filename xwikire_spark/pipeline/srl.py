@@ -35,9 +35,14 @@ SRL_SCHEMA = (
 )
 
 
-def srl_rows(triples: DataFrame) -> DataFrame:
+def srl_rows(triples: DataFrame, tagger: str = "rule") -> DataFrame:
     """triples (extract_triples output) -> SRL sentence/triple rows with
-    token spans and POS, one fused Python pass."""
+    token spans and POS, one fused Python pass.
+
+    ``tagger``: "rule" (default — the pinned, SQL-mirrorable contract the
+    driver oracle checks) or "perceptron" (the trained averaged-perceptron
+    X10 path for real text; nltk.pos_tag architecture parity,
+    kernels/perceptron.py)."""
 
     def gen(batches):
         import hashlib
@@ -48,9 +53,14 @@ def srl_rows(triples: DataFrame) -> DataFrame:
             find_full_matches,
             flatten_locations,
         )
-        from xwikire_spark.kernels.pos import contains_verb, pos_tag
+        from xwikire_spark.kernels.pos import (
+            contains_verb,
+            pos_tag as rule_tag,
+            pos_tag_perceptron,
+        )
         from xwikire_spark.kernels.tokenizer import tokenize_with_breaks
 
+        pos_tag = pos_tag_perceptron if tagger == "perceptron" else rule_tag
         cols = [f.split()[0] for f in SRL_SCHEMA.split(", ")]
         for pdf in batches:
             out = {c: [] for c in cols}
@@ -106,12 +116,13 @@ def srl_export(
     triples: DataFrame,
     require_verb: bool = True,
     blacklist_is_a: bool = True,
+    tagger: str = "rule",
 ) -> DataFrame:
     """Apply the export filters (F7/F8/F9) + sentence-level dedup (A10).
 
     Output: one row per (conv, sentence, triple) that survives —
     the JSONL export shape (src/srl.py:84-139)."""
-    rows = srl_rows(triples)
+    rows = srl_rows(triples, tagger=tagger)
     out = rows.where(
         (F.size("subj_breaks") == 0)
         & (F.size("answer_breaks") == 0)
