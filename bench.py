@@ -45,6 +45,15 @@ HEADLINE = [
 ]
 
 
+N_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "5"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def _run_once(spark, name: str, fn) -> tuple[float, int]:
     t0 = time.time()
     n = fn(spark, SF_DIR).count()
@@ -61,17 +70,23 @@ def main() -> None:
     # first headline query's number
     qs["kg_triples"](spark, SF_DIR).count()
 
-    timings: dict[str, float] = {}
+    # medians over N_SAMPLES per query (ADVICE r1: minima of noisy samples
+    # overstate; the median is the honest single number on a shared host).
+    # Samples interleave across queries so host interference spreads evenly
+    # instead of biasing whichever query ran during a noisy window.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
-    for name in HEADLINE:
-        sec, n = _run_once(spark, name, qs[name])
-        timings[name] = round(sec, 3)
-        rows[name] = n
+    for _ in range(N_SAMPLES):
+        for name in HEADLINE:
+            sec, n = _run_once(spark, name, qs[name])
+            samples[name].append(sec)
+            rows[name] = n
+    timings = {n: round(_median(s), 3) for n, s in samples.items()}
+    timings_min = {n: round(min(s), 3) for n, s in samples.items()}
 
-    # flagship throughput: triples/sec on a timed re-run (warm JVM)
-    t0 = time.time()
-    n_triples = qs["kg_triples"](spark, SF_DIR).count()
-    kg_sec = time.time() - t0
+    # flagship throughput: triples/sec from the median warm-run time
+    kg_sec = timings["kg_triples"]
+    n_triples = rows["kg_triples"]
     triples_per_sec = round(n_triples / kg_sec, 1) if kg_sec > 0 else 0.0
 
     result = {
@@ -79,6 +94,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "n_samples": N_SAMPLES,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "rows": rows,
         "triples_per_sec": triples_per_sec,
@@ -99,27 +116,56 @@ def main() -> None:
         import subprocess
 
         repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "3000"))
+        k = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLES", "3"))
         here = os.path.dirname(os.path.abspath(__file__))
+        secs: dict[int, list[float]] = {4: [], 16: []}
+        n_triples_scale = {}
+        # k INTERLEAVED samples per level (4,16,4,16,...) so both levels
+        # see the same interference windows; the headline statistic is the
+        # MEDIAN per level (ADVICE r1: paired minima overstate)
+        import shutil
+
+        taskset = shutil.which("taskset")
+        for _ in range(k):
+            for cores in (4, 16):
+                # pin the whole process tree (JVM + python workers) to
+                # exactly `cores` CPUs — without pinning, local[4]'s python
+                # workers borrow extra cores and the 4-wide baseline is
+                # really an ~8-core run, understating scaling efficiency
+                pin = [taskset, "-c", f"0-{cores - 1}"] if taskset else []
+                out = subprocess.run(
+                    pin + [sys.executable,
+                           os.path.join(here, "scripts/scale_probe.py"),
+                           str(cores), str(repl)],
+                    capture_output=True, text=True, check=True,
+                    env={**os.environ, "SPARK_DRIVER_MEM": "24g"},
+                ).stdout.strip().splitlines()[-1]
+                r = _json.loads(out)
+                secs[cores].append(r["sec"])
+                n_triples_scale[cores] = r["n_triples"]
         scale = {}
         for cores in (4, 16):
-            out = subprocess.run(
-                [sys.executable, os.path.join(here, "scripts/scale_probe.py"),
-                 str(cores), str(repl)],
-                capture_output=True, text=True, check=True,
-                env={**os.environ, "SPARK_DRIVER_MEM": "24g"},
-            ).stdout.strip().splitlines()[-1]
-            r = _json.loads(out)
+            med = _median(secs[cores])
             scale[f"local[{cores}]"] = {
-                "sec": r["sec"],
-                "triples_per_sec": r["tps"],
-                "n_triples": r["n_triples"],
+                "samples_sec": secs[cores],
+                "median_sec": round(med, 3),
+                "min_sec": round(min(secs[cores]), 3),
+                "triples_per_sec_median": round(
+                    n_triples_scale[cores] / med, 1
+                ),
+                "n_triples": n_triples_scale[cores],
             }
-        eff = (
-            scale["local[16]"]["triples_per_sec"]
-            / scale["local[4]"]["triples_per_sec"]
+        eff_med = (
+            scale["local[16]"]["triples_per_sec_median"]
+            / scale["local[4]"]["triples_per_sec_median"]
+        ) / 4.0
+        eff_min = (
+            (n_triples_scale[16] / min(secs[16]))
+            / (n_triples_scale[4] / min(secs[4]))
         ) / 4.0
         result["scaling"] = scale
-        result["scaling_efficiency_4_to_16"] = round(eff, 3)
+        result["scaling_efficiency_4_to_16_median"] = round(eff_med, 3)
+        result["scaling_efficiency_4_to_16_min"] = round(eff_min, 3)
         result["scaling_input_replication"] = repl
 
     print(json.dumps(result))

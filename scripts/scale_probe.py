@@ -30,7 +30,14 @@ def main() -> None:
         f"scale-{job}-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=cores * 2,
-        extra_conf={"spark.local.dir": "/dev/shm/spark-tmp"},
+        extra_conf={
+            "spark.local.dir": "/dev/shm/spark-tmp",
+            # 64k-row Arrow batches: short transcript rows at the default
+            # 10k rows/batch leave the JVM<->Python pipe per-batch-overhead
+            # bound at high core counts (measured ~20% at local[16],
+            # neutral at local[4])
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        },
     )
     s.sparkContext.setLogLevel("ERROR")
 
@@ -40,8 +47,10 @@ def main() -> None:
 
         rows, _ = datagen.generate_transcripts(n_convs=400, turns_per_conv=12)
         t = s.createDataFrame(pd.DataFrame(rows))
+        # 4 tasks per core: stragglers amortize (one slow task idles a core
+        # for 1/4 of a wave, not a whole wave — measured ~10% at local[16])
         big = (
-            s.range(repl)
+            s.range(0, repl, 1, numPartitions=cores * 4)
             .crossJoin(F.broadcast(t))
             .select(
                 F.concat_ws("-", "conv_id", "id").alias("conv_id"),
@@ -77,11 +86,19 @@ def main() -> None:
         n_units = None
 
     run()  # warm-up: codegen + python workers
-    t0 = time.time()
-    n = run()
-    dt = time.time() - t0
+    # median of 3 warm runs inside ONE process (fresh processes per LEVEL
+    # stay mandatory — stacked sessions degrade — but within a session
+    # repeated actions are stable and the median absorbs host noise)
+    samples = []
+    n = 0
+    for _ in range(3):
+        t0 = time.time()
+        n = run()
+        samples.append(time.time() - t0)
+    dt = sorted(samples)[1]
     print(json.dumps({
         "job": job, "cores": cores, "repl": repl, "sec": round(dt, 3),
+        "samples_sec": [round(x, 3) for x in samples],
         "n_triples": n, "tps": round(n / dt, 1), "turns": n_units,
     }))
     s.stop()

@@ -344,3 +344,37 @@ class TestPerceptronTagger:
         from pyspark.sql import functions as F
         row = df.select(make_pos_udf(bc)(F.col("toks")).alias("tags")).first()
         assert row.tags == ["PRP", "VBZ", "DT", "NN", "."]
+
+
+class TestTextFix:
+    """X16 mojibake repair — the ftfy.fix_text analog
+    (src/builders/SRL.py:111)."""
+
+    def test_golden_repairs(self):
+        from xwikire_spark.kernels.textfix import fix_text
+
+        latin1_once = "Café".encode("utf-8").decode("latin-1")
+        cp1252_once = "don’t".encode("utf-8").decode("windows-1252")
+        double = latin1_once.encode("utf-8").decode("latin-1")
+        assert fix_text(latin1_once) == "Café"
+        assert fix_text(cp1252_once) == "don’t"
+        assert fix_text(double) == "Café"
+
+    def test_clean_text_is_untouched(self):
+        from xwikire_spark.kernels.textfix import fix_text
+
+        for clean in ("plain ascii.", "Köln is fine", "Ã alone",
+                      "ಕನ್ನಡ text", ""):
+            assert fix_text(clean) == clean
+
+    def test_udf(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from xwikire_spark.functions.udfs import fix_text_udf
+
+        broken = "Café".encode("utf-8").decode("latin-1")
+        df = spark.createDataFrame(pd.DataFrame({"t": [broken, "ok"]}))
+        got = [r.f for r in df.select(fix_text_udf(F.col("t")).alias("f"))
+               .collect()]
+        assert got == ["Café", "ok"]

@@ -291,6 +291,63 @@ class TestStreaming:
             .where(F.col("count") > 1).count() == 0
 
 
+    def test_stateful_sessionize_stream(self, spark, tmp_path):
+        """applyInPandasWithState gap sessionization: a session row is
+        emitted exactly once, when the event-time watermark passes its
+        last event + gap."""
+        import datetime as dt
+
+        from xwikire_spark.streaming.sessionize import sessionize_stream
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+        def mk(rows):
+            return pd.DataFrame(
+                {"user_id": [r[0] for r in rows],
+                 "ts": [t0 + dt.timedelta(minutes=r[1]) for r in rows]}
+            )
+
+        inp = str(tmp_path / "ev_in")
+        # file 1: user 1 has two events 10 min apart (one session);
+        # user 2 one event (coalesce(1): one FILE = one micro-batch)
+        spark.createDataFrame(mk([(1, 0), (1, 10), (2, 0)])).coalesce(
+            1).write.parquet(inp, mode="append")
+        # file 2: much later events — advances the watermark in batch 2
+        spark.createDataFrame(mk([(1, 180), (2, 185)])).coalesce(
+            1).write.parquet(inp, mode="append")
+        # file 3: even later — batch 3's watermark closes file-1 sessions
+        spark.createDataFrame(mk([(3, 360)])).coalesce(1).write.parquet(
+            inp, mode="append")
+
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+        )
+        sessions = sessionize_stream(stream, gap_seconds=1800,
+                                     watermark="30 minutes")
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sess_test")
+            .outputMode("append")
+            .option(
+                "checkpointLocation", str(tmp_path / "sess_ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.user_id, r.session_seq): (r.n_events,
+                                         r.session_end_epoch
+                                         - r.session_start_epoch)
+            for r in spark.sql("SELECT * FROM sess_test").collect()
+        }
+        # the two file-1 sessions must have closed, exactly once each
+        assert got[(1, 1)] == (2, 600)  # 2 events, 10-minute span
+        assert got[(2, 1)] == (1, 0)
+
+
 class TestMultimodal:
     def test_fake_decode_plumbing(self, spark):
         from xwikire_spark.operators.multimodal import extract_media_features

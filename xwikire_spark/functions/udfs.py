@@ -31,6 +31,7 @@ from xwikire_spark.kernels.dates import format_date
 from xwikire_spark.kernels.segmenter import segment_sentences
 from xwikire_spark.kernels.templates import fill_template
 from xwikire_spark.kernels.articles import extract_article
+from xwikire_spark.kernels.textfix import fix_text
 from xwikire_spark.kernels.tokenizer import tokenize_with_breaks
 
 # ---------------------------------------------------------------------------
@@ -189,6 +190,13 @@ word_offsets_udf = F.pandas_udf(
 # Date formatting (X11), template filling (X14), article extraction (X15):
 # plain scalar pandas UDFs over the pure kernels.
 # ---------------------------------------------------------------------------
+
+
+# X16: mojibake repair (reference applies ftfy.fix_text per sentence,
+# src/builders/SRL.py:111)
+fix_text_udf = F.pandas_udf(
+    lambda s: s.map(lambda t: fix_text(t or "")), StringType()
+)
 
 
 def make_pos_udf(model):

@@ -227,32 +227,41 @@ def near_duplicates_minhash(
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document, from token xxhash64s — pure JVM
-    expressions (bit voting via aggregate over bit positions).
+    """64-bit SimHash per document from token xxhash64s.
+
+    Shape: explode tokens once, then ONE groupBy with 64 +-1 vote sums
+    (map-side partial combine). The previous per-bit
+    aggregate-over-transform formulation made Catalyst re-inline the
+    split+hash expression into all 64 bit aggregates — the documented
+    O(bits x tokens) inlining trap; this shape hashes each token once per
+    bit expression over a plain column instead and shuffles only 64 longs
+    per doc per map partition.
 
     Output: doc_id, simhash (long), band0..band3 (16-bit bands for
     bucketing: near-dups differ in few bits, so they collide on >=1 band).
     """
-    toks = F.split(F.col(text_col), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # for each bit position: sum(+1/-1 votes) >= 0 -> bit set
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                2 * F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) - 1
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
     bits = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
-            )
-            >= 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
+        F.when(F.col(f"v{b}") >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         for b in range(64)
     ]
     sim = bits[0]
     for b in range(1, 64):
-        sim = sim + F.shiftleft(bits[b], b)
-    out = docs.select("doc_id", sim.alias("simhash"))
+        sim = sim.bitwiseOR(F.shiftleft(bits[b], b))
+    out = votes.select("doc_id", sim.alias("simhash"))
     for band in range(4):
         out = out.withColumn(
             f"band{band}",

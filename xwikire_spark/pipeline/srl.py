@@ -58,6 +58,7 @@ def srl_rows(triples: DataFrame, tagger: str = "rule") -> DataFrame:
             pos_tag as rule_tag,
             pos_tag_perceptron,
         )
+        from xwikire_spark.kernels.textfix import fix_text
         from xwikire_spark.kernels.tokenizer import tokenize_with_breaks
 
         pos_tag = pos_tag_perceptron if tagger == "perceptron" else rule_tag
@@ -65,7 +66,11 @@ def srl_rows(triples: DataFrame, tagger: str = "rule") -> DataFrame:
         for pdf in batches:
             out = {c: [] for c in cols}
             for r in pdf.itertuples(index=False):
-                tokens, _ = tokenize_with_breaks(r.evidence)
+                # X16: the reference ftfy-fixes every sentence before
+                # tokenizing (src/builders/SRL.py:111); identity on clean
+                # text, so the oracle contract is unchanged
+                evidence = fix_text(r.evidence)
+                tokens, _ = tokenize_with_breaks(evidence)
                 tags = pos_tag(tokens)
 
                 def spans(surface):
@@ -87,9 +92,9 @@ def srl_rows(triples: DataFrame, tagger: str = "rule") -> DataFrame:
                 )
                 out["conv_id"].append(r.conv_id)
                 out["sentence_id"].append(
-                    hashlib.sha1(r.evidence.encode("utf-8")).hexdigest()
+                    hashlib.sha1(evidence.encode("utf-8")).hexdigest()
                 )
-                out["sentence"].append(r.evidence)
+                out["sentence"].append(evidence)
                 out["sentence_sequence"].append(tokens)
                 out["pos"].append(tags)
                 out["subj"].append(r.subj)

@@ -1,0 +1,114 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` (SURVEY §2.8 — the Structured Streaming shape of
+the batch ``evt_sessionize`` query in __spark_entry__).
+
+A session is a maximal run of one user's events with inter-event gaps
+<= ``gap``. State per user_id: the open session (start, last event time,
+count). An arriving batch's events fold into the state; a session CLOSES —
+and is emitted — when the event-time watermark passes last_ts + gap
+(GroupStateTimeout.EventTimeTimeout), so late events inside the watermark
+still join their session. This is the standard Spark pattern for
+session windows with custom state (the built-in
+``F.session_window`` covers plain count/agg sessions; this operator exists
+for enrichable per-session state — here it also tracks the per-user session
+sequence number, which session_window cannot do).
+
+Scale: state is per user_id (hash-partitioned by the streaming engine);
+memory is O(open sessions), bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_seq bigint, n_events bigint, "
+    "session_start_epoch bigint, session_end_epoch bigint"
+)
+SESSION_STATE_SCHEMA = (
+    "session_seq bigint, n_events bigint, start_us bigint, last_us bigint"
+)
+
+
+def make_sessionizer(gap_seconds: int = 1800):
+    """Returns the (key, pdf_iter, state) -> pdf_iter function for
+    ``applyInPandasWithState``."""
+    gap_us = gap_seconds * 1_000_000
+
+    def sessionize(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int, int]] = []  # seq, n, start, last
+
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: the open session closes
+            seq, n, start_us, last_us = state.get
+            closed.append((seq, n, start_us, last_us))
+            state.remove()
+        else:
+            ts_us: list[int] = []
+            for pdf in pdfs:
+                ts_us.extend(
+                    int(t.value // 1000)  # ns -> us
+                    for t in pd.to_datetime(pdf["ts"])
+                )
+            ts_us.sort()
+            if state.exists:
+                seq, n, start_us, last_us = state.get
+            else:
+                seq, n, start_us, last_us = 0, 0, None, None
+            for t in ts_us:
+                if start_us is None:
+                    seq, n, start_us, last_us = seq + 1, 1, t, t
+                elif t - last_us > gap_us:
+                    closed.append((seq, n, start_us, last_us))
+                    seq, n, start_us, last_us = seq + 1, 1, t, t
+                else:
+                    n += 1
+                    last_us = max(last_us, t)
+            if start_us is not None:
+                state.update((seq, n, start_us, last_us))
+                state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
+                "session_seq": pd.Series(
+                    [c[0] for c in closed], dtype="int64"
+                ),
+                "n_events": pd.Series([c[1] for c in closed], dtype="int64"),
+                "session_start_epoch": pd.Series(
+                    [c[2] // 1_000_000 for c in closed], dtype="int64"
+                ),
+                "session_end_epoch": pd.Series(
+                    [c[3] // 1_000_000 for c in closed], dtype="int64"
+                ),
+            }
+        )
+
+    return sessionize
+
+
+def sessionize_stream(events, gap_seconds: int = 1800, watermark: str = "30 minutes"):
+    """event stream (user_id, ts, ...) -> closed-session stream.
+
+    ``events`` must be a streaming DataFrame; output mode "append" (a
+    session row appears exactly once, when it closes)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_sessionizer(gap_seconds),
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
