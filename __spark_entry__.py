@@ -234,6 +234,21 @@ SELECT conv_id, turn_idx, alias, entity_id, CAST(pos AS INT) AS pos
 FROM mentions
 """
 
+KG_MENTION_PAIRS_SQL = f"""
+WITH {_KG_TURNS_CTE}, {_KG_MENTIONS_CTE},
+m AS (SELECT DISTINCT conv_id, turn_idx, entity_id FROM mentions)
+SELECT a.conv_id,
+       a.entity_id AS entity_a,
+       b.entity_id AS entity_b,
+       CAST(a.turn_idx AS INT) AS turn_a,
+       CAST(b.turn_idx AS INT) AS turn_b
+FROM m a JOIN m b ON a.conv_id = b.conv_id
+WHERE b.turn_idx - a.turn_idx BETWEEN 0 AND 2
+  AND (b.turn_idx > a.turn_idx
+       OR (b.turn_idx = a.turn_idx AND a.entity_id < b.entity_id))
+  AND a.entity_id <> b.entity_id
+"""
+
 KG_TRIPLES_SQL = f"""
 WITH {_KG_TURNS_CTE}, {_KG_MENTIONS_CTE},
 subj AS (
@@ -716,6 +731,39 @@ def q_kg_triples_pipeline(spark, sf_dir):
     )
 
 
+def q_kg_triples_joinpath(spark, sf_dir):
+    """The large-dictionary JOIN strategy (extraction.extract_triples_join:
+    dictionary never leaves the cluster; word-run tokens meet first-tokens
+    in a shuffle equi-join, greedy leftmost-longest fold, relational
+    candidate assembly) — value-checked against the SAME oracle as the
+    broadcast paths."""
+    from xwikire_spark.pipeline.extraction import extract_triples
+
+    turns = kg_turns_df(spark, sf_dir)
+    alias_df, pred_df = _kg_dicts(spark)
+    t = extract_triples(turns, alias_df, pred_df, dict_strategy="join")
+    return t.select(
+        F.md5(F.concat_ws(" ", "subj", "pred", "obj")).alias("id"),
+        "subj", "pred", "obj", "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "evidence",
+    )
+
+
+def q_kg_mention_pairs(spark, sf_dir):
+    """Conversation-window mention pairing (north_star: "aligning linked
+    mention pairs within conversation windows") — the bucketed range
+    self-join from extraction.pair_mentions_in_window, distance <= 2."""
+    from xwikire_spark.pipeline.extraction import pair_mentions_in_window
+
+    mentions = kg_mentions_df(spark, sf_dir)
+    return pair_mentions_in_window(mentions, max_turn_distance=2).select(
+        "conv_id", "entity_a", "entity_b",
+        F.col("turn_a").cast("int").alias("turn_a"),
+        F.col("turn_b").cast("int").alias("turn_b"),
+    )
+
+
 def q_srl_export(spark, sf_dir):
     """SRL sentence export (F7 verb filter + F8 contiguity + A10 dedup,
     pipeline/srl.py) over the extracted triples, projected to a hash-stable
@@ -1191,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": kg_mentions_df,
         "kg_triples": kg_triples_df,
         "kg_triples_pipeline": q_kg_triples_pipeline,
+        "kg_triples_joinpath": q_kg_triples_joinpath,
+        "kg_mention_pairs": q_kg_mention_pairs,
         "srl_export": q_srl_export,
         "s1_range_scan": q_s1_range_scan,
         "s5_regex_scan": q_s5_regex_scan,
@@ -1245,6 +1295,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": KG_TRIPLES_SQL,
         # the real pandas-UDF pipeline must reproduce the same result
         "kg_triples_pipeline": KG_TRIPLES_SQL,
+        # ...and so must the join-based large-dictionary strategy
+        "kg_triples_joinpath": KG_TRIPLES_SQL,
+        "kg_mention_pairs": KG_MENTION_PAIRS_SQL,
         "srl_export": SRL_EXPORT_SQL,
         "s1_range_scan": """
             SELECT l_returnflag, count(*) AS n_rows,
