@@ -75,6 +75,28 @@ class TestFlagshipPlans:
         # window above the limit, never the full table
         assert single_partition_exchanges(df) <= 1
 
+    def test_join_strategy_single_tokenize_pass(self, spark):
+        # the large-dictionary join path must tokenize ONCE (tagged union
+        # of both dictionaries): 2 ArrowEval stages (segment, word-offsets)
+        # and no per-branch re-evaluation (the naive split measured 6
+        # ArrowEval / 9 exchanges)
+        import re
+
+        import pandas as pd
+
+        from xwikire_spark import datagen
+        from xwikire_spark.pipeline.extraction import extract_triples
+        from xwikire_spark.plans.inspection import optimized_plan
+
+        rows, _ = datagen.generate_transcripts(n_convs=5, turns_per_conv=4)
+        t = spark.createDataFrame(pd.DataFrame(rows))
+        al = spark.createDataFrame(pd.DataFrame(datagen.alias_rows()))
+        pr = spark.createDataFrame(pd.DataFrame(datagen.predicate_rows()))
+        df = extract_triples(t, al, pr, dict_strategy="join")
+        plan = optimized_plan(df)
+        assert len(re.findall(r"ArrowEvalPython", plan)) == 2, plan
+        assert count_exchanges(df) <= 4
+
     def test_facts_object_join_not_broadcast(self, spark):
         # J3: the wikibase object side is the FULL entity table — the plan
         # must not force a broadcast (SURVEY §2.3; a hint would OOM at

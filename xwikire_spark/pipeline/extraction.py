@@ -309,6 +309,7 @@ def detect_mentions_join(
     sentences: DataFrame,
     pairs: DataFrame,
     keys: tuple[str, ...] = ("conv_id", "turn_idx", "sent_idx"),
+    tag_col: str | None = None,
 ) -> DataFrame:
     """Dictionary mention detection WITHOUT shipping the dictionary: the
     scale path when the alias table itself is cluster-sized.
@@ -330,18 +331,23 @@ def detect_mentions_join(
     Contract: aliases must start and end with word characters (regex \\b
     parity); matching is case-sensitive like the broadcast path.
 
-    Input ``pairs``: DataFrame (alias, entity_id). Output matches
-    detect_mentions: keys + sentence, surface, entity_id, m_start, m_end.
+    Input ``pairs``: DataFrame (alias, entity_id[, tag_col]). Output
+    matches detect_mentions: keys + sentence[, tag_col], surface,
+    entity_id, m_start, m_end. When ``tag_col`` is given (several
+    dictionaries sharing ONE tokenize+join pass), the greedy overlap
+    resolution runs per (sentence, tag) — each dictionary consumes text
+    independently, exactly like separate automatons.
     """
     from xwikire_spark.functions.udfs import word_offsets_udf
 
     ks = list(keys)
+    tag = [tag_col] if tag_col else []
     toks = sentences.select(
         *ks, "sentence", F.explode(word_offsets_udf(F.col("sentence"))).alias("w")
     ).select(*ks, "sentence", F.col("w.tok").alias("tok"), F.col("w.pos").alias("pos"))
 
     dic = (
-        pairs.select("alias", "entity_id")
+        pairs.select("alias", "entity_id", *tag)
         .where(F.col("alias").isNotNull() & (F.col("alias") != ""))
         .distinct()
         .withColumn("tok", F.regexp_extract("alias", r"(?U)\w+", 0))
@@ -363,6 +369,7 @@ def detect_mentions_join(
     m = verified.select(
         *ks,
         "sentence",
+        *tag,
         F.struct(
             F.col("pos").cast("int").alias("start"),
             (-F.length("alias")).cast("int").alias("neg_len"),
@@ -371,7 +378,7 @@ def detect_mentions_join(
             (F.col("pos") + F.length("alias")).cast("int").alias("end"),
         ).alias("m"),
     )
-    grouped = m.groupBy(*ks, "sentence").agg(
+    grouped = m.groupBy(*ks, "sentence", *tag).agg(
         F.sort_array(F.collect_list("m")).alias("ms")
     )
     # greedy fold: sorted by (start asc, longest first, id); accept a match
@@ -398,10 +405,11 @@ def detect_mentions_join(
 
     kept = F.aggregate(F.col("ms"), acc0, step)["kept"]
     return grouped.select(
-        *ks, "sentence", F.explode(kept).alias("k")
+        *ks, "sentence", *tag, F.explode(kept).alias("k")
     ).select(
         *ks,
         "sentence",
+        *tag,
         F.col("k.surface").alias("surface"),
         F.col("k.entity_id").alias("entity_id"),
         F.col("k.start").alias("m_start"),
@@ -428,10 +436,15 @@ def extract_triples_join(
     predicate_dict: DataFrame,
 ) -> DataFrame:
     """extract_triples' "join" strategy: same semantics, dictionaries stay
-    distributed. Candidate assembly is relational: per-sentence earliest
-    mention (min struct aggregate) = subject, earliest predicate surface =
-    relation, every other-entity mention = object; then the shared
-    first-evidence min_by tail."""
+    distributed.
+
+    Plan shape (engineered — see tests/test_plans.py): BOTH dictionaries
+    union into one tagged table, so tokenization + the dictionary join run
+    ONCE (a naive mentions/predicates split re-evaluates the Python
+    tokenizer subtree per branch — measured 6 ArrowEval stages / 9
+    exchanges; this shape has 1 Python chain and the per-sentence
+    subject/predicate selection is a single window over the fold output,
+    not self-joins)."""
     ks = ["conv_id", "turn_idx", "sent_idx"]
     sentences = (
         transcripts.where(F.length(F.trim(F.col("text"))) > 0)
@@ -443,50 +456,58 @@ def extract_triples_join(
             ),
         )
     )
-    mentions = detect_mentions_join(
-        sentences, alias_dict.select("alias", "entity_id")
-    )
-    preds = detect_mentions_join(
-        sentences, _predicate_pairs_df(predicate_dict)
-    )
-
-    # earliest mention / earliest predicate per sentence: min over structs
-    # ordered (start, id, surface) — the Python path's min(ms) exactly
-    subj = mentions.groupBy(*ks).agg(
-        F.min(
-            F.struct(
-                F.col("m_start").alias("s"),
-                F.col("entity_id").alias("subj"),
-                F.col("surface").alias("subj_surface"),
-            )
-        ).alias("sb")
-    )
-    pred = preds.groupBy(*ks).agg(
-        F.min(
-            F.struct(
-                F.col("m_start").alias("s"),
-                F.col("entity_id").alias("pid"),
-                F.col("surface").alias("p_surface"),
-            )
-        ).alias("pb")
-    )
-    cands = (
-        mentions.join(subj, ks)
-        .where(F.col("entity_id") != F.col("sb.subj"))
-        .join(pred, ks)
-        .select(
-            "conv_id",
-            "turn_idx",
-            "sent_idx",
-            "sentence",
-            F.col("sb.subj").alias("subj"),
-            F.col("sb.subj_surface").alias("subj_surface"),
-            F.col("pb.pid").alias("pid"),
-            F.col("pb.p_surface").alias("p_surface"),
-            F.col("entity_id").alias("obj"),
-            F.col("surface").alias("obj_surface"),
-            F.col("m_start").alias("obj_start"),
+    tagged = alias_dict.select(
+        "alias", "entity_id", F.lit("E").alias("tag")
+    ).unionByName(
+        _predicate_pairs_df(predicate_dict).select(
+            "alias", "entity_id", F.lit("P").alias("tag")
         )
+    )
+    matches = detect_mentions_join(sentences, tagged, tag_col="tag")
+
+    # earliest entity mention = subject, earliest predicate surface =
+    # relation — min over structs ordered (start, id, surface), the Python
+    # path's min(ms) exactly; ONE window over the sentence key serves both
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*ks)
+    sb = F.min(
+        F.when(
+            F.col("tag") == "E",
+            F.struct(
+                F.col("m_start").alias("s"),
+                F.col("entity_id").alias("id"),
+                F.col("surface").alias("sf"),
+            ),
+        )
+    ).over(w)
+    pb = F.min(
+        F.when(
+            F.col("tag") == "P",
+            F.struct(
+                F.col("m_start").alias("s"),
+                F.col("entity_id").alias("id"),
+                F.col("surface").alias("sf"),
+            ),
+        )
+    ).over(w)
+    enriched = matches.withColumn("sb", sb).withColumn("pb", pb)
+    cands = enriched.where(
+        (F.col("tag") == "E")
+        & F.col("pb").isNotNull()
+        & (F.col("entity_id") != F.col("sb.id"))
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        "sentence",
+        F.col("sb.id").alias("subj"),
+        F.col("sb.sf").alias("subj_surface"),
+        F.col("pb.id").alias("pid"),
+        F.col("pb.sf").alias("p_surface"),
+        F.col("entity_id").alias("obj"),
+        F.col("surface").alias("obj_surface"),
+        F.col("m_start").alias("obj_start"),
     )
     return _first_evidence(cands)
 
