@@ -37,6 +37,11 @@ def main(argv: list[str]) -> int:
     p.add_argument("--n-buckets", type=int, default=256)
     p.add_argument("--n-partitions", type=int, default=None)
     p.add_argument("--no-canonicalize", action="store_true")
+    p.add_argument(
+        "--dict-strategy", choices=["broadcast", "join"], default="broadcast",
+        help="'join' keeps the dictionaries distributed (use when the alias"
+             " table is too large to broadcast to executors)",
+    )
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -52,7 +57,8 @@ def main(argv: list[str]) -> int:
 
     def build(df):
         t = extract_triples(
-            df, alias_dict, predicate_dict, n_partitions=args.n_partitions
+            df, alias_dict, predicate_dict, n_partitions=args.n_partitions,
+            dict_strategy=args.dict_strategy,
         )
         if not args.no_canonicalize:
             t = canonicalize_triples(t, alias_dict)

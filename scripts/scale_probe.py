@@ -66,6 +66,29 @@ def main() -> None:
             return extract_triples(big, al, pr).count()
 
         n_units = repl * 4800
+    elif job == "joinpath":
+        from xwikire_spark import datagen
+        from xwikire_spark.pipeline.extraction import extract_triples
+
+        rows, _ = datagen.generate_transcripts(n_convs=400, turns_per_conv=12)
+        t = s.createDataFrame(pd.DataFrame(rows))
+        big = (
+            s.range(0, repl, 1, numPartitions=cores * 4)
+            .crossJoin(F.broadcast(t))
+            .select(
+                F.concat_ws("-", "conv_id", "id").alias("conv_id"),
+                "turn_idx", "role", "text", "tool", "ts",
+            )
+        )
+        al = s.createDataFrame(pd.DataFrame(datagen.alias_rows()))
+        pr = s.createDataFrame(pd.DataFrame(datagen.predicate_rows()))
+
+        def run():
+            return extract_triples(
+                big, al, pr, dict_strategy="join"
+            ).count()
+
+        n_units = repl * 4800
     else:
         import __spark_entry__ as e
 

@@ -35,6 +35,12 @@ def global_rank(
 
     ``order`` must define a total order (include a unique tiebreaker) or
     ranks of tied rows straddling a partition boundary are arbitrary.
+
+    Cost note: the per-partition counts are a SECOND pass over the input —
+    but Catalyst column-prunes it to the order columns only (a key-only
+    parquet scan + key-only range shuffle), which is marginal next to the
+    full-width main pass. For iterative callers, localCheckpoint the input
+    first and both passes read the checkpoint.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     parted = (
