@@ -1040,6 +1040,29 @@ def q_ann_topk_lsh(spark, sf_dir):
     return ann_topk_lsh(emb.where(F.col("vec_id") < 8), emb, k=5)
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN (k-means inverted lists, 2-probe). The oracle re-derives the
+    SAME deterministic k-means in SQL — rounded centroids make the model
+    bit-identical across engines."""
+    from xwikire_spark.operators.similarity import ann_topk_ivf
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(emb.where(F.col("vec_id") < 8), emb, k=5)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: hyperplane-LSH candidates + exact
+    cosine verify (precision 1.0 by construction), oracled against the
+    exact all-pairs answer. Generous banding (8 bands x 3 planes) so
+    recall at the 0.5 boundary is near-1 on this corpus."""
+    from xwikire_spark.operators.similarity import cosine_near_duplicates
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return cosine_near_duplicates(
+        emb, threshold=0.5, n_bands=8, planes_per_band=3
+    )
+
+
 def q_txt_token_counts(spark, sf_dir):
     from xwikire_spark.operators.textstats import token_counts
 
@@ -1189,6 +1212,69 @@ WHERE rank <= {k}
 """
 
 
+def _ann_ivf_oracle_sql(
+    k: int = 5, n_centroids: int = 8, n_probe: int = 2, n_iters: int = 2
+) -> str:
+    """The IVF pipeline re-derived in SQL: the SAME deterministic k-means
+    (md5 random-partition init, Lloyd steps with centroid components
+    rounded to 6 decimals — the rounding is what makes the model
+    bit-identical across engines), then probe + exact cosine rank."""
+
+    def means(src: str, out: str) -> str:
+        # DuckDB 1.0 has no WITH ORDINALITY: index via a lateral
+        # generate_series and subscript the array
+        return f"""{out} AS (
+  SELECT cid, list(m ORDER BY dim) AS ce FROM (
+    SELECT cid, t.dim AS dim, round(avg(e[t.dim]), 6) AS m
+    FROM {src}, unnest(generate_series(1, len(e))) AS t(dim)
+    GROUP BY cid, t.dim) GROUP BY cid)"""
+
+    def assign(cents: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vid, e, cid FROM (
+    SELECT v.vid, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vid
+               ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS rn
+    FROM v CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    ctes = [
+        """v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e
+         FROM embeddings)""",
+        f"""a_init AS (
+  SELECT vid, e,
+         (strpos('0123456789abcdef', substr(md5(CAST(vid AS VARCHAR)), 1, 1))
+          - 1) % {n_centroids} AS cid
+  FROM v)""",
+        means("a_init", "c0"),
+    ]
+    prev = "c0"
+    for i in range(n_iters):
+        ctes.append(assign(prev, f"a{i + 1}"))
+        ctes.append(means(f"a{i + 1}", f"c{i + 1}"))
+        prev = f"c{i + 1}"
+    ctes.append(assign(prev, "corpus_lists"))
+    ctes.append(f"""qp AS (
+  SELECT vid AS query_id, e AS qv, cid FROM (
+    SELECT v.vid, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vid
+               ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS rn
+    FROM v CROSS JOIN {prev} c WHERE v.vid < 8) WHERE rn <= {n_probe})""")
+    ctes.append("""scored AS (
+  SELECT qp.query_id, a.vid AS neighbor_id,
+         list_cosine_similarity(qp.qv, a.e) AS cos
+  FROM qp JOIN corpus_lists a ON a.cid = qp.cid
+  WHERE a.vid <> qp.query_id)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM (SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def _langid_oracle_sql() -> str:
     """Marker scoring mirrored from textstats._LANG_PROFILES: the score is
     total matched characters, so count(m) * len(m) is exactly
@@ -1281,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "dedup_embedding": q_dedup_embedding,
         "txt_token_counts": q_txt_token_counts,
         "txt_quality": q_txt_quality,
         "txt_fingerprint": q_txt_fingerprint,
@@ -1715,9 +1803,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM q, c WHERE neighbor_id <> query_id)
             WHERE rank <= 5
         """,
+        "dedup_embedding": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.5
+        """,
         # generated oracles — constants shared with the operator modules
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
         "dedup_simhash": _simhash_md5_oracle_sql(),
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
+        "ann_topk_ivf": _ann_ivf_oracle_sql(),
         "txt_langid": _langid_oracle_sql(),
     }

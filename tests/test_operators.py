@@ -131,6 +131,44 @@ class TestANN:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.9, f"recall@planted {recall}"
 
+    def test_ivf_recall_at_k(self, spark, embeddings):
+        from xwikire_spark.operators.similarity import (
+            ann_topk_ivf,
+            cosine_topk_bruteforce,
+        )
+
+        q = embeddings.where(F.col("vec_id") < 20)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk_bruteforce(q, embeddings, k=1).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_topk_ivf(
+                q, embeddings, k=5, n_centroids=8, n_probe=2
+            ).collect()
+        }
+        # a planted near-identical neighbor lands in the query's own
+        # cluster (or the 2-probe set) essentially always
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"recall@planted {recall}"
+
+    def test_cosine_near_duplicates_finds_planted(self, spark, embeddings):
+        from xwikire_spark.operators.similarity import cosine_near_duplicates
+
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in cosine_near_duplicates(
+                embeddings, threshold=0.95, n_bands=6, planes_per_band=4
+            ).collect()
+        }
+        planted = {(i, 1000 + i) for i in range(20)}
+        recall = len(got & planted) / len(planted)
+        assert recall >= 0.9, f"planted-pair recall {recall}"
+        # precision is exact by construction: every emitted pair really is
+        # >= threshold (spot-check none pair two independent gaussians)
+        assert all(b == 1000 + a for a, b in got), got - planted
+
 
 class TestVocabAndSplits:
     def test_vocab_ranks(self, spark):

@@ -198,3 +198,213 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def cosine_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 4,
+    planes_per_band: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup mode of a
+    training-data pipeline): candidates from the banded hyperplane LSH
+    self-join, then exact cosine >= threshold on candidates only.
+
+    Output: vec_a < vec_b, cosine (rounded to 6). Precision is 1.0 by
+    construction (exact verify); recall follows the LSH collision bound —
+    at cos >= 0.9 the angle is <= 26 deg, so a 5-bit band agrees with
+    probability (1 - 26/180)^5 and 4 independent bands push per-pair
+    recall toward 1 as cos -> 1, where true duplicates live. Shuffle is
+    O(bucket collisions), never O(n^2) — the same scale shape as
+    MinHash-LSH dedup over text.
+    """
+    sig = _banded_signatures(
+        vectors, n_bands, planes_per_band, dim, id_col, vec_col, "vid"
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b")
+        )
+        .distinct()
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    va = v.select(F.col("vid").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = v.select(F.col("vid").alias("vec_b"), F.col("v").alias("v_b"))
+    scored = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _dot(F.col("v_a"), F.col("v_b"))
+                / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
+            ).alias("cosine"),
+        )
+    )
+    return scored.where(F.col("cosine") >= threshold).select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# --- IVF (coarse-quantization) ANN ------------------------------------------
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic mini k-means for IVF coarse quantization.
+
+    Init: random-partition method on md5(id) (the one hash both engines
+    share, so the DuckDB oracle replicates it); then ``n_iters`` Lloyd
+    steps assigning by max cosine (ties -> smallest centroid id). Centroid
+    components are rounded to 6 decimals after every averaging step —
+    double-summation order differs between engines (and between Spark
+    partitionings), and rounding is what makes the model bit-identical
+    everywhere. Empty clusters are dropped.
+
+    Returns the tiny driver-side model [(cid, center)] — the standard
+    k-means shape: fitting reduces over the cluster, the model itself is
+    an artifact to broadcast (here: inlined into the probe expressions).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    assigned = v.withColumn(
+        "cid",
+        F.expr(
+            "(locate(substring(md5(cast(vid as string)), 1, 1),"
+            f" '0123456789abcdef') - 1) % {n_centroids}"
+        ).cast("int"),
+    )
+
+    def means(df) -> list[tuple[int, list[float]]]:
+        rows = (
+            df.select("cid", F.posexplode("e").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+        return sorted(
+            (cid, [dims[d] for d in sorted(dims)])
+            for cid, dims in by_cid.items()
+        )
+
+    cents = means(assigned)
+    for _ in range(n_iters):
+        cents = means(_assign_to_centroids(v, cents))
+    return cents
+
+
+def _assign_to_centroids(
+    v: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Adds cid = argmax-cosine centroid (ties -> smallest cid); centroids
+    ride as literal arrays (broadcast-sized model, no join)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-_cosine(F.col("e"), F.array(*[F.lit(x) for x in ce])))
+                .alias("neg_cos"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, ce in cents
+        ]
+    )
+    return v.withColumn("cid", F.array_min(scored)["cid"])
+
+
+def ann_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantization partitions the corpus into
+    ``n_centroids`` inverted lists; each query probes its ``n_probe``
+    nearest centroids and ranks exact cosine within those lists only.
+
+    Scale shape: the corpus shuffles ONCE on its cluster id; a query
+    touches n_probe/n_centroids of the data. Complements ann_topk_lsh
+    (data-dependent partitioning vs data-oblivious hashing).
+    Output: query_id, neighbor_id, rank.
+    """
+    cents = kmeans_centroids(corpus, n_centroids, n_iters, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    assigned = _assign_to_centroids(
+        c.select(F.col("neighbor_id").alias("vid"), F.col("cv").alias("e")),
+        cents,
+    ).select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("e").alias("cv"),
+        "cid",
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    probe_scores = F.array(
+        *[
+            F.struct(
+                (-_cosine(F.col("qv"), F.array(*[F.lit(x) for x in ce])))
+                .alias("neg_cos"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, ce in cents
+        ]
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.slice(F.array_sort(probe_scores), 1, n_probe)
+        ).alias("p"),
+    ).select("query_id", "qv", F.col("p.cid").alias("cid"))
+
+    scored = (
+        probes.join(assigned, "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
