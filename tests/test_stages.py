@@ -381,3 +381,26 @@ class TestMultimodal:
         )
         rows = frame_sample_plan(media, every_ms=1000).collect()
         assert [r.sample_ms for r in rows] == [0, 1000, 2000, 3000]
+
+    def test_resize_plumbing(self, spark):
+        from xwikire_spark.operators.multimodal import resize_images
+
+        media = spark.createDataFrame(
+            [("m1", "image", bytearray(b"\x10\x20"), "image/png", 100, 80,
+              None),
+             ("m2", "audio", bytearray(b"\x01"), "audio/wav", None, None,
+              2000)],
+            "media_id string, kind string, payload binary, mime string, "
+            "width int, height int, duration_ms int",
+        )
+        out = {r.media_id: r for r in
+               resize_images(media, 16, 8).collect()}
+        img = out["m1"]
+        assert (img.width, img.height) == (16, 8)
+        assert len(bytes(img.payload)) == 16 * 8
+        # deterministic fake payload
+        again = {r.media_id: r for r in
+                 resize_images(media, 16, 8).collect()}
+        assert bytes(again["m1"].payload) == bytes(img.payload)
+        # non-image rows pass through untouched
+        assert bytes(out["m2"].payload) == b"\x01"

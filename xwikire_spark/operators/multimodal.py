@@ -106,3 +106,60 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "mime", "sample_ms")
     )
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Image resize via mapInPandas: decode -> resize -> re-encode, with
+    the codec step stubbed like the rest of this module (PIL/libvips not in
+    the container). The Spark-side contract is real: binary payloads ride
+    Arrow buffers both directions, metadata columns update, non-image rows
+    pass through untouched. Fake mode emits a deterministic payload
+    (sha1-derived bytes of the requested size class) so tests pin the
+    round-trip schema and batch shape.
+    """
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                b = bytes(payload) if payload is not None else b""
+                if kind != "image":
+                    payloads.append(b)
+                    widths.append(None)
+                    heights.append(None)
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "image resize requires PIL/libvips — not available"
+                        " in this container; pass fake=True for the"
+                        " deterministic test path"
+                    )
+                seed = hashlib.sha1(
+                    b + f"{width}x{height}".encode()
+                ).digest()
+                payloads.append(
+                    (seed * (width * height // len(seed) + 1))[
+                        : width * height
+                    ]
+                )
+                widths.append(width)
+                heights.append(height)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "mime": pdf["mime"],
+                    "width": pd.Series(widths, dtype="object"),
+                    "height": pd.Series(heights, dtype="object"),
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    return media.mapInPandas(gen, MEDIA_SCHEMA)
