@@ -234,6 +234,50 @@ SELECT conv_id, turn_idx, alias, entity_id, CAST(pos AS INT) AS pos
 FROM mentions
 """
 
+_KG_TRIPLES_CTE_BODY = """
+subj AS (
+  SELECT conv_id, turn_idx, entity_id AS subj
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY pos, entity_id) AS rn
+        FROM mentions) WHERE rn = 1
+),
+pred AS (
+  SELECT conv_id, turn_idx, pid AS pred
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY p_pos, pid) AS rn
+        FROM pred_hits) WHERE rn = 1
+),
+cands AS (
+  SELECT s.conv_id, s.turn_idx, s.subj, p.pred,
+         m.entity_id AS obj, m.pos AS obj_pos, t.text
+  FROM subj s
+  JOIN mentions m USING (conv_id, turn_idx)
+  JOIN pred p USING (conv_id, turn_idx)
+  JOIN turns t USING (conv_id, turn_idx)
+  WHERE m.entity_id <> s.subj
+),
+triples AS (
+  SELECT subj, pred, obj, conv_id, turn_idx, text AS evidence
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, subj, pred, obj
+                                     ORDER BY turn_idx, obj_pos) AS rn
+        FROM cands) WHERE rn = 1
+)"""
+
+KG_VERTEX_DEGREES_SQL = f"""
+WITH {_KG_TURNS_CTE}, {_KG_MENTIONS_CTE}, {_KG_TRIPLES_CTE_BODY},
+outd AS (SELECT subj AS entity_id, count(*) AS out_degree,
+                count(DISTINCT conv_id) AS ca
+         FROM triples GROUP BY subj),
+ind AS (SELECT obj AS entity_id, count(*) AS in_degree,
+               count(DISTINCT conv_id) AS cb
+        FROM triples GROUP BY obj)
+SELECT entity_id,
+       CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+       CAST(coalesce(ca, 0) + coalesce(cb, 0) AS BIGINT) AS conv_mentions
+FROM outd FULL JOIN ind USING (entity_id)
+"""
+
 KG_MENTION_PAIRS_SQL = f"""
 WITH {_KG_TURNS_CTE}, {_KG_MENTIONS_CTE},
 m AS (SELECT DISTINCT conv_id, turn_idx, entity_id FROM mentions)
@@ -748,6 +792,14 @@ def q_kg_triples_joinpath(spark, sf_dir):
         F.col("turn_idx").cast("int").alias("turn_idx"),
         "evidence",
     )
+
+
+def q_kg_vertex_degrees(spark, sf_dir):
+    """Vertex side of the graph materialization (north_rule edge/vertex
+    tables): per-entity degree stats from the triple table."""
+    from xwikire_spark.pipeline.graph import vertex_table
+
+    return vertex_table(kg_triples_df(spark, sf_dir))
 
 
 def q_kg_mention_pairs(spark, sf_dir):
@@ -1327,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_pipeline": q_kg_triples_pipeline,
         "kg_triples_joinpath": q_kg_triples_joinpath,
         "kg_mention_pairs": q_kg_mention_pairs,
+        "kg_vertex_degrees": q_kg_vertex_degrees,
         "srl_export": q_srl_export,
         "s1_range_scan": q_s1_range_scan,
         "s5_regex_scan": q_s5_regex_scan,
@@ -1386,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         # ...and so must the join-based large-dictionary strategy
         "kg_triples_joinpath": KG_TRIPLES_SQL,
         "kg_mention_pairs": KG_MENTION_PAIRS_SQL,
+        "kg_vertex_degrees": KG_VERTEX_DEGREES_SQL,
         "srl_export": SRL_EXPORT_SQL,
         "s1_range_scan": """
             SELECT l_returnflag, count(*) AS n_rows,

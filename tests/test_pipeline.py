@@ -235,3 +235,32 @@ class TestManifests:
         want = {tuple(r) for r in
                 fresh.select("conv_id", "subj", "pred", "obj").collect()}
         assert got == want
+
+
+class TestGraphMaterialization:
+    def test_edges_vertices_and_metrics(self, spark, corpus, tmp_path):
+        from xwikire_spark.pipeline.graph import materialize_graph
+
+        _, _, transcripts, alias_df, pred_df = corpus
+        out = str(tmp_path / "graph")
+
+        def build(df):
+            return extract_triples(df, alias_df, pred_df)
+
+        edges, vertices = materialize_graph(
+            spark, transcripts, build, out, n_buckets=4
+        )
+        n_edges = edges.count()
+        assert n_edges > 0
+        # vertex degrees reconcile exactly with the edge table
+        v = {r.entity_id: r for r in vertices.collect()}
+        for r in edges.groupBy("subj").count().collect():
+            assert v[r.subj].out_degree == r["count"]
+        for r in edges.groupBy("obj").count().collect():
+            assert v[r.obj].in_degree == r["count"]
+        # observe() metrics landed with the write job (no extra pass)
+        m = spark.read.parquet(out + "/_metrics").collect()
+        assert len(m) == 1
+        assert m[0].triples_out == n_edges
+        assert m[0].empty_evidence == 0
+        assert m[0].approx_convs > 0

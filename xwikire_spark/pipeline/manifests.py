@@ -104,10 +104,31 @@ def run_with_manifests(
     fp = bucket_fingerprints(transcripts, n_buckets)
 
     if todo:
+        from pyspark.sql import Observation
+
         t0 = time.time()
         subset = bucketed.where(F.col("part_bucket").isin(todo))
         triples = build_fn(subset.drop("part_bucket"))
         out = with_bucket(triples, n_buckets)
+        # quality metrics ride the WRITE job itself via observe() — zero
+        # extra passes (the reference returned per-chunk stats dicts to the
+        # driver, src/builders/builder.py:45-48; this is the Spark-native
+        # equivalent)
+        obs = Observation("kg_quality")
+        cols = set(out.columns)
+        metric_exprs = [F.count(F.lit(1)).alias("triples_out")]
+        for c, name in (("conv_id", "approx_convs"),
+                        ("subj", "approx_subjects"),
+                        ("obj", "approx_objects")):
+            if c in cols:
+                metric_exprs.append(F.approx_count_distinct(c).alias(name))
+        if "evidence" in cols:
+            metric_exprs.append(
+                F.sum(
+                    F.when(F.length(F.trim("evidence")) == 0, 1).otherwise(0)
+                ).alias("empty_evidence")
+            )
+        out = out.observe(obs, *metric_exprs)
         # dynamic partition overwrite: reprocessing a drifted bucket replaces
         # its files instead of appending duplicates — resume is idempotent.
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -115,6 +136,12 @@ def run_with_manifests(
             os.path.join(out_dir, "triples")
         )
         wall_ms = int((time.time() - t0) * 1000)
+        metrics = dict(obs.get)
+        metrics["wall_ms"] = wall_ms
+        metrics["n_buckets_processed"] = len(todo)
+        spark.createDataFrame([metrics]).write.mode("append").parquet(
+            os.path.join(out_dir, "_metrics")
+        )
 
         # count from the just-written files, NOT the build DataFrame —
         # re-aggregating `out` would recompute the whole extraction
