@@ -883,6 +883,32 @@ def q_evt_sessionize(spark, sf_dir):
     )
 
 
+def q_evt_session_window(spark, sf_dir):
+    """Spark's built-in session_window (gap-close semantics: a session's
+    window end = last event + gap) — the native complement to the custom
+    stateful sessionizer (streaming/sessionize.py) and the lag+cumsum batch
+    shape (q_evt_sessionize). All three agree on session membership."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(
+                F.col("session_window.start").cast("timestamp")
+            ).alias("window_start_us"),
+            F.unix_micros(
+                F.col("session_window.end").cast("timestamp")
+            ).alias("window_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_kg_canonical_map(spark, sf_dir):
     """Connected-components canonicalization (north_rule stage 6) over a
     collision graph derived from data: brands sharing a p_name token are
@@ -1405,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_unit_extract": q_x13_unit_extract,
         "evt_tumbling_window": q_evt_tumbling_window,
         "evt_sessionize": q_evt_sessionize,
+        "evt_session_window": q_evt_session_window,
         "kg_canonical_map": q_kg_canonical_map,
         "a4_mean_context_len": q_a4_mean_context_len,
         "a5_distinct_ids": q_a5_distinct_ids,
@@ -1727,6 +1754,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    min(epoch_us(ts)) // 1000000 AS session_start_epoch,
                    max(epoch_us(ts)) // 1000000 AS session_end_epoch
+            FROM sessions GROUP BY user_id, session_seq
+        """,
+        "evt_session_window": """
+            WITH flagged AS (
+              SELECT user_id, event_id, value, ts,
+                     CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                              (PARTITION BY user_id
+                               ORDER BY ts, event_id)) > 1800000000
+                          OR lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ),
+            sessions AS (
+              SELECT user_id, value, ts,
+                     sum(new_session) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id,
+                   min(epoch_us(ts)) AS window_start_us,
+                   max(epoch_us(ts)) + 1800000000 AS window_end_us,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
             FROM sessions GROUP BY user_id, session_seq
         """,
         "kg_canonical_map": """
