@@ -264,3 +264,57 @@ class TestGraphMaterialization:
         assert m[0].triples_out == n_edges
         assert m[0].empty_evidence == 0
         assert m[0].approx_convs > 0
+
+
+class TestMentionPathEquivalence:
+    def test_randomized_dictionary_equivalence(self, spark):
+        """Randomized cross-check (fixed seed): on 60 random sentences and
+        a random dictionary with overlaps ('beta gamma' vs 'beta' vs
+        'gamma delta') and collisions, the join path's greedy fold must
+        reproduce the regex automaton's mention set exactly — surfaces,
+        ids, and char offsets."""
+        import random
+
+        from xwikire_spark.pipeline.extraction import (
+            detect_mentions,
+            detect_mentions_join,
+        )
+
+        rng = random.Random(99)
+        pool = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+                "theta", "iota", "kappa"]
+        surfaces = [
+            ("beta", "E1"), ("beta gamma", "E2"), ("gamma delta", "E3"),
+            ("delta", "E4"), ("eps zeta eta", "E5"), ("zeta", "E6"),
+            # collision: one surface, two ids
+            ("kappa", "E7"), ("kappa", "E8"),
+        ]
+        rows = []
+        for i in range(60):
+            n = rng.randint(6, 14)
+            words = [rng.choice(pool) for _ in range(n)]
+            rows.append(dict(
+                conv_id=f"c{i % 7}", turn_idx=i // 7, role="user", ts=None,
+                sent_idx=0, sentence=" ".join(words) + ".",
+            ))
+        sentences = spark.createDataFrame(pd.DataFrame(rows))
+        alias_df = spark.createDataFrame(
+            pd.DataFrame([{"alias": a, "entity_id": e} for a, e in surfaces])
+        )
+        key = ["conv_id", "turn_idx", "sent_idx", "surface", "entity_id",
+               "m_start", "m_end"]
+        regex_path = {
+            tuple(r[k] for k in key)
+            for r in detect_mentions(sentences, alias_df).collect()
+        }
+        join_path = {
+            tuple(r[k] for k in key)
+            for r in detect_mentions_join(
+                sentences, alias_df.select("alias", "entity_id")
+            ).collect()
+        }
+        assert regex_path == join_path, (
+            f"regex-only={list(regex_path - join_path)[:4]} "
+            f"join-only={list(join_path - regex_path)[:4]}"
+        )
+        assert len(regex_path) > 100  # the corpus actually exercises it
