@@ -1084,8 +1084,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup. Value-hash checked: the verify stage is an
     EXACT shingle-set Jaccard on candidates (precision 1.0 by construction),
     so the oracle is the exact corpus-wide shingle-Jaccard pair set — any
-    pair LSH misses (or any wrong Jaccard value) fails the gate. The hash
-    family itself isn't in DuckDB; its recall is what this checks."""
+    pair LSH misses (or any wrong Jaccard value) fails the gate.
+
+    Honest scope of that check: it pins recall = 1.0 EMPIRICALLY on this
+    pinned corpus (deterministic hashes + data; all true pairs here sit at
+    jaccard >= 0.9 where the 8x4 banding bound is ~0.9998) — the banding
+    bound, not the gate, is the general recall guarantee. The max_bucket
+    stop guard cannot bite here either: in the production pipeline exact
+    dedup runs BEFORE near-dup, so identical-copy floods (the one way a
+    true-duplicate bucket exceeds the cap) never reach the banded join."""
     from xwikire_spark.operators.dedup import near_duplicates_minhash
 
     return near_duplicates_minhash(
@@ -1132,7 +1139,9 @@ def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: hyperplane-LSH candidates + exact
     cosine verify (precision 1.0 by construction), oracled against the
     exact all-pairs answer. Generous banding (8 bands x 3 planes) so
-    recall at the 0.5 boundary is near-1 on this corpus."""
+    recall at the 0.5 boundary is near-1; like dedup_minhash_lsh, the gate
+    pins recall empirically on this pinned corpus (deterministic planes +
+    data) — the banding bound is the general guarantee."""
     from xwikire_spark.operators.similarity import cosine_near_duplicates
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -1221,7 +1230,8 @@ def _simhash_md5_oracle_sql() -> str:
     )
     return f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+  FROM documents
 ),
 hashed AS (SELECT doc_id, md5(tok) AS h FROM tok),
 votes AS (SELECT doc_id,

@@ -264,3 +264,75 @@ class TestConnectedComponentsSkew:
         cc = {r.id: r.component
               for r in connected_components(vertices, edges).collect()}
         assert set(cc.values()) == {"N000"}
+
+
+class TestSessionFold:
+    """Pure fold-logic tests for the stateful sessionizer (late data and
+    sequence continuity — the cases the streaming harness can't easily
+    drive deterministically)."""
+
+    GAP = 1800 * 1_000_000
+
+    def test_late_event_extends_session_backward(self):
+        from xwikire_spark.streaming.sessionize import fold_events
+
+        # open session [12:00, 12:00]; late event 11:50 (within gap)
+        t0 = 1_700_000_000 * 1_000_000
+        closed, (seq, n, start, last) = fold_events(
+            1, 1, t0, t0, [t0 - 600 * 1_000_000], self.GAP
+        )
+        assert closed == []
+        assert (seq, n) == (1, 2)
+        assert start == t0 - 600 * 1_000_000  # start moved earlier
+        assert last == t0
+
+    def test_detached_late_event_is_own_closed_session(self):
+        from xwikire_spark.streaming.sessionize import fold_events
+
+        t0 = 1_700_000_000 * 1_000_000
+        late = t0 - 2 * self.GAP  # > gap before the open session's start
+        closed, (seq, n, start, last) = fold_events(
+            3, 2, t0, t0, [late], self.GAP
+        )
+        # the detached event closes immediately at the current counter and
+        # the open session renumbers after it — no duplicate seq
+        assert closed == [(3, 1, late, late)]
+        assert (seq, n, start, last) == (4, 2, t0, t0)
+
+    def test_seq_continues_after_timeout_close(self):
+        from xwikire_spark.streaming.sessionize import fold_events
+
+        # after a timeout close the state keeps (seq, 0, NO_SESSION): the
+        # next event must open session seq+1, not restart at 1
+        t0 = 1_700_000_000 * 1_000_000
+        closed, (seq, n, start, last) = fold_events(
+            5, 0, None, None, [t0], self.GAP
+        )
+        assert closed == []
+        assert (seq, n, start, last) == (6, 1, t0, t0)
+
+    def test_matches_batch_semantics_in_order(self):
+        from xwikire_spark.streaming.sessionize import fold_events
+
+        # in-order stream: sessions split exactly at gaps > 30 min
+        base = 1_700_000_000 * 1_000_000
+        m = 60 * 1_000_000
+        ts = [base, base + 10 * m, base + 50 * m, base + 200 * m]
+        closed, (seq, n, start, last) = fold_events(
+            0, 0, None, None, ts, self.GAP
+        )
+        # gaps: 10m (joins), 40m (splits), 150m (splits)
+        assert [(c[0], c[1]) for c in closed] == [(1, 2), (2, 1)]
+        assert (seq, n) == (3, 1)
+
+
+class TestNullTextRows:
+    def test_simhash_keeps_null_text_docs(self, spark):
+        from xwikire_spark.operators.dedup import simhash, simhash_md5
+
+        docs = spark.createDataFrame(
+            [("d1", "hello world"), ("d2", None), ("d3", "")],
+            "doc_id string, text string",
+        )
+        assert simhash(docs).count() == 3
+        assert simhash_md5(docs).count() == 3

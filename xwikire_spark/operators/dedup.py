@@ -219,8 +219,13 @@ def near_duplicates_minhash(
     """MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
     exact shingle-Jaccard verify (the same k-shingle universe the
     signatures estimate). The canonical web-corpus dedup shape; because
-    the verify step is exact, output precision is 1.0 by construction and
-    the exact corpus-wide shingle-Jaccard pair set is a valid oracle."""
+    the verify step is exact, output precision is 1.0 by construction.
+
+    Pipeline-order contract: run EXACT dedup first (dedup_exact).
+    Identical-copy floods are the one way a true-duplicate bucket can
+    exceed the max_bucket stop guard; with exact copies already collapsed,
+    the guard only ever drops non-discriminative boilerplate buckets and
+    near-dup recall follows the banding bound."""
     sigs = minhash_signatures(docs, text_col, n_hashes, k=k)
     cands = lsh_candidate_pairs(sigs, n_bands)
     return jaccard_verify(docs, cands, text_col, threshold, shingle_k=k)
@@ -240,8 +245,14 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Output: doc_id, simhash (long), band0..band3 (16-bit bands for
     bucketing: near-dups differ in few bits, so they collide on >=1 band).
     """
+    # coalesce NULL text to '': split(NULL) explodes to zero rows, which
+    # would silently DROP the doc from the output (the old expression
+    # formulation emitted a row per doc regardless)
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        "doc_id",
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("tok"),
     )
     hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
     votes = hashed.groupBy("doc_id").agg(
@@ -286,7 +297,10 @@ def simhash_md5(docs: DataFrame, text_col: str = "text") -> DataFrame:
     has a value-hash DuckDB oracle. Same plan shape, same scale story.
     """
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        "doc_id",
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("tok"),
     )
     # hex digit i (0-based from the left) of md5(tok), as 0..15
     digits = toks.select(

@@ -127,12 +127,16 @@ def resize_images(
 
         for pdf in batches:
             payloads, widths, heights = [], [], []
-            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+            for payload, kind, w0, h0 in zip(
+                pdf["payload"], pdf["kind"], pdf["width"], pdf["height"]
+            ):
                 b = bytes(payload) if payload is not None else b""
                 if kind != "image":
+                    # non-image rows pass through with their ORIGINAL
+                    # metadata intact
                     payloads.append(b)
-                    widths.append(None)
-                    heights.append(None)
+                    widths.append(None if pd.isna(w0) else int(w0))
+                    heights.append(None if pd.isna(h0) else int(h0))
                     continue
                 if not fake:
                     raise NotImplementedError(

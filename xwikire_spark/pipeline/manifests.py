@@ -136,12 +136,15 @@ def run_with_manifests(
             os.path.join(out_dir, "triples")
         )
         wall_ms = int((time.time() - t0) * 1000)
-        metrics = dict(obs.get)
+        # aggregates over a zero-row write observe NULL (e.g. the sum) —
+        # coalesce to 0 and pin the schema or createDataFrame fails type
+        # inference on the all-None row
+        metrics = {k: (0 if v is None else v) for k, v in dict(obs.get).items()}
         metrics["wall_ms"] = wall_ms
         metrics["n_buckets_processed"] = len(todo)
-        spark.createDataFrame([metrics]).write.mode("append").parquet(
-            os.path.join(out_dir, "_metrics")
-        )
+        metrics_schema = ", ".join(f"{k} bigint" for k in metrics)
+        spark.createDataFrame([tuple(metrics.values())], metrics_schema)\
+            .write.mode("append").parquet(os.path.join(out_dir, "_metrics"))
 
         # count from the just-written files, NOT the build DataFrame —
         # re-aggregating `out` would recompute the whole extraction

@@ -4,17 +4,30 @@ the batch ``evt_sessionize`` query in __spark_entry__).
 
 A session is a maximal run of one user's events with inter-event gaps
 <= ``gap``. State per user_id: the open session (start, last event time,
-count). An arriving batch's events fold into the state; a session CLOSES —
-and is emitted — when the event-time watermark passes last_ts + gap
-(GroupStateTimeout.EventTimeTimeout), so late events inside the watermark
-still join their session. This is the standard Spark pattern for
-session windows with custom state (the built-in
+count) plus the user's session counter. An arriving batch's events fold
+into the state; a session CLOSES — and is emitted — when the event-time
+watermark passes last_ts + gap (GroupStateTimeout.EventTimeTimeout), so
+late events inside the watermark still join their session. This is the
+standard Spark pattern for session windows with custom state (the built-in
 ``F.session_window`` covers plain count/agg sessions; this operator exists
-for enrichable per-session state — here it also tracks the per-user session
-sequence number, which session_window cannot do).
+for enrichable per-session state — here it also tracks the per-user
+session sequence number, which session_window cannot do).
 
-Scale: state is per user_id (hash-partitioned by the streaming engine);
-memory is O(open sessions), bounded by the watermark horizon.
+Late-data semantics (all within the watermark; later events are dropped by
+the engine):
+- a late event within ``gap`` of the open session's START extends the
+  session backward (start moves earlier);
+- a late event more than ``gap`` before the open session forms its own
+  already-closed 1-event session, numbered at the current counter (i.e.
+  sequence reflects close order under cross-batch lateness, arrival order
+  otherwise) and the open session renumbers after it.
+
+State lifecycle: closing a session via timeout KEEPS the (tiny) per-user
+counter in state — removing it would restart session_seq at 1 and emit
+duplicate (user_id, session_seq) keys. State size is therefore O(users),
+not O(open sessions); user-keyed state that small is the normal trade.
+
+Scale: state is hash-partitioned by user_id by the streaming engine.
 """
 
 from __future__ import annotations
@@ -31,6 +44,43 @@ SESSION_STATE_SCHEMA = (
     "session_seq bigint, n_events bigint, start_us bigint, last_us bigint"
 )
 
+_NO_SESSION = -1  # start_us/last_us sentinel: counter kept, no open session
+
+
+def fold_events(
+    seq: int,
+    n: int,
+    start_us: int | None,
+    last_us: int | None,
+    ts_us: list[int],
+    gap_us: int,
+) -> tuple[list[tuple[int, int, int, int]], tuple[int, int, int | None, int | None]]:
+    """Pure session fold (unit-testable without the streaming engine).
+
+    ``ts_us`` must be sorted ascending. Returns (closed_sessions,
+    (seq, n, start_us, last_us)) where each closed session is
+    (seq, n_events, start_us, last_us)."""
+    closed: list[tuple[int, int, int, int]] = []
+    for t in ts_us:
+        if start_us is None:
+            seq, n, start_us, last_us = seq + 1, 1, t, t
+        elif t < start_us:
+            if start_us - t <= gap_us:
+                # late event extends the open session backward
+                n += 1
+                start_us = t
+            else:
+                # detached late event: its own, immediately-closed session
+                closed.append((seq, 1, t, t))
+                seq += 1
+        elif t - last_us > gap_us:
+            closed.append((seq, n, start_us, last_us))
+            seq, n, start_us, last_us = seq + 1, 1, t, t
+        else:
+            n += 1
+            last_us = max(last_us, t)
+    return closed, (seq, n, start_us, last_us)
+
 
 def make_sessionizer(gap_seconds: int = 1800):
     """Returns the (key, pdf_iter, state) -> pdf_iter function for
@@ -43,13 +93,15 @@ def make_sessionizer(gap_seconds: int = 1800):
         state,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        closed: list[tuple[int, int, int, int]] = []  # seq, n, start, last
+        closed: list[tuple[int, int, int, int]] = []
 
         if state.hasTimedOut:
-            # watermark passed last_ts + gap: the open session closes
+            # watermark passed last_ts + gap: the open session closes; the
+            # per-user counter stays in state (seq continuity)
             seq, n, start_us, last_us = state.get
-            closed.append((seq, n, start_us, last_us))
-            state.remove()
+            if start_us != _NO_SESSION:
+                closed.append((seq, n, start_us, last_us))
+            state.update((seq, 0, _NO_SESSION, _NO_SESSION))
         else:
             ts_us: list[int] = []
             for pdf in pdfs:
@@ -60,20 +112,22 @@ def make_sessionizer(gap_seconds: int = 1800):
             ts_us.sort()
             if state.exists:
                 seq, n, start_us, last_us = state.get
+                if start_us == _NO_SESSION:
+                    start_us = last_us = None
+                    n = 0
             else:
                 seq, n, start_us, last_us = 0, 0, None, None
-            for t in ts_us:
-                if start_us is None:
-                    seq, n, start_us, last_us = seq + 1, 1, t, t
-                elif t - last_us > gap_us:
-                    closed.append((seq, n, start_us, last_us))
-                    seq, n, start_us, last_us = seq + 1, 1, t, t
-                else:
-                    n += 1
-                    last_us = max(last_us, t)
+            batch_closed, (seq, n, start_us, last_us) = fold_events(
+                seq, n, start_us, last_us, ts_us, gap_us
+            )
+            closed.extend(batch_closed)
             if start_us is not None:
                 state.update((seq, n, start_us, last_us))
-                state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+                state.setTimeoutTimestamp(
+                    last_us // 1000 + gap_seconds * 1000
+                )
+            else:
+                state.update((seq, 0, _NO_SESSION, _NO_SESSION))
 
         yield pd.DataFrame(
             {
