@@ -13,6 +13,46 @@ import os
 import sys
 import time
 
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def _tree_cpu() -> dict[str, float]:
+    """Cumulative utime+stime (sec) of this process tree, split java vs
+    python — the probe is the parent of the JVM, which parents the pyspark
+    daemons/workers. Deltas around a timed run show where the CPU went
+    (exited workers between snapshots undercount slightly; daemons and the
+    JVM persist, so the split is accurate where it matters)."""
+    by = {"java": 0.0, "python": 0.0}
+    kids, frontier = {os.getpid()}, [os.getpid()]
+    while frontier:
+        pid = frontier.pop()
+        try:
+            tids = os.listdir(f"/proc/{pid}/task")
+        except OSError:
+            continue
+        for tid in tids:  # JVM forks daemons from non-main threads
+            try:
+                with open(f"/proc/{pid}/task/{tid}/children") as f:
+                    for c in map(int, f.read().split()):
+                        if c not in kids:
+                            kids.add(c)
+                            frontier.append(c)
+            except OSError:
+                pass
+    for pid in kids:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        comm = s[s.index("(") + 1 : s.rindex(")")]
+        rest = s[s.rindex(")") + 2 :].split()
+        cpu = (int(rest[11]) + int(rest[12])) / _CLK
+        by["java" if "java" in comm else "python"] = (
+            by.get("java" if "java" in comm else "python", 0.0) + cpu
+        )
+    return by
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pandas as pd  # noqa: E402
@@ -113,15 +153,27 @@ def main() -> None:
     # stay mandatory — stacked sessions degrade — but within a session
     # repeated actions are stable and the median absorbs host noise)
     samples = []
+    cpus = []
     n = 0
     for _ in range(3):
+        c0 = _tree_cpu()
         t0 = time.time()
         n = run()
-        samples.append(time.time() - t0)
+        dt_i = time.time() - t0
+        c1 = _tree_cpu()
+        samples.append(dt_i)
+        cpus.append({
+            "java": round(c1["java"] - c0["java"], 1),
+            "python": round(c1["python"] - c0["python"], 1),
+            "util": round(
+                (sum(c1.values()) - sum(c0.values())) / (dt_i * cores), 3
+            ),
+        })
     dt = sorted(samples)[1]
     print(json.dumps({
         "job": job, "cores": cores, "repl": repl, "sec": round(dt, 3),
         "samples_sec": [round(x, 3) for x in samples],
+        "run_cpu": cpus,
         "n_triples": n, "tps": round(n / dt, 1), "turns": n_units,
     }))
     s.stop()

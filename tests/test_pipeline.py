@@ -107,6 +107,82 @@ class TestExtraction:
             f"broadcast-only={list(a - b)[:3]} join-only={list(b - a)[:3]}"
         )
 
+    def test_jvm_strategy_matches_broadcast(self, spark, corpus):
+        """The in-plan (Catalyst expression) strategy — now the default for
+        small dictionaries — must reproduce the fused-kernel path exactly,
+        including the engine-divergence fallback routing: the corpus has
+        Kannada turns whose combining marks Java (?U)\\w treats as word
+        chars but Python \\w does not, so those MUST go through the Python
+        branch to keep reference \\b parity."""
+        _, _, transcripts, alias_df, pred_df = corpus
+        cols = TRIPLE_KEY + ["sent_idx", "subj_surface", "pred_surface",
+                             "obj_surface"]
+        a = {tuple(r[k] for k in cols)
+             for r in extract_triples(
+                 transcripts, alias_df, pred_df, dict_strategy="broadcast")
+             .select(*cols).collect()}
+        b = {tuple(r[k] for k in cols)
+             for r in extract_triples(
+                 transcripts, alias_df, pred_df, dict_strategy="jvm")
+             .select(*cols).collect()}
+        assert a == b, (
+            f"broadcast-only={list(a - b)[:3]} jvm-only={list(b - a)[:3]}"
+        )
+
+    def test_jvm_strategy_routes_exotic_text_to_python(self, spark, corpus):
+        """Turns containing engine-divergent characters are ineligible for
+        the in-plan path."""
+        from xwikire_spark.pipeline.extraction import jvm_eligible
+
+        _, _, transcripts, _, _ = corpus
+        flags = {
+            r["text"]: r["ok"]
+            for r in transcripts.select(
+                "text", jvm_eligible().alias("ok")
+            ).collect()
+        }
+        kannada = [t for t in flags if "ಬ" in t or "ಸ" in t]
+        assert kannada and all(flags[t] is False for t in kannada)
+        plain = [t for t in flags if t.isascii() and "\t" not in t]
+        assert plain and all(flags[t] for t in plain)
+
+    def test_jvm_strategy_plan_shape(self, spark, corpus):
+        """Plan assertions for the default strategy: (a) exactly ONE Python
+        eval chain — the exotic-text fallback — everything else whole-stage
+        JVM; (b) each dictionary regex appears exactly once per plan (the
+        Generate barrier prevents Catalyst from re-inlining
+        regexp_extract_all per downstream reference — the round-1/2
+        re-inlining trap)."""
+        _, _, transcripts, alias_df, pred_df = corpus
+        plan = (
+            extract_triples(transcripts, alias_df, pred_df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
+        assert plan.count("regexp_extract_all") == 2
+
+    def test_jvm_plan_compiles_at_surface_cap(self, spark):
+        """1000-surface dictionaries (the JVM_MAX_SURFACES cap) must build
+        and analyze in seconds — the literal regex/map must not be a
+        plan-size bomb (the IVF-centroid lesson)."""
+        import time
+
+        from xwikire_spark.pipeline.extraction import candidates_jvm
+
+        t = spark.createDataFrame(
+            [("c1", 0, "alias7 and alias13 rel5 here")],
+            "conv_id string, turn_idx int, text string",
+        )
+        aliases = [(f"alias{i}", f"Q{i}") for i in range(1000)]
+        preds = [(f"rel{i}", f"P{i}") for i in range(1000)]
+        t0 = time.time()
+        df = candidates_jvm(t, aliases, preds)
+        rows = df.collect()
+        assert time.time() - t0 < 60
+        assert {(r["subj"], r["pid"], r["obj"]) for r in rows} == {
+            ("Q7", "P5", "Q13")
+        }
+
     def test_join_strategy_100k_surface_dictionary(self, spark, corpus):
         """A >100k-surface alias dictionary through the join path: the
         padding surfaces never occur in the corpus, so the result must be
