@@ -265,17 +265,20 @@ triples AS (
 
 KG_VERTEX_DEGREES_SQL = f"""
 WITH {_KG_TURNS_CTE}, {_KG_MENTIONS_CTE}, {_KG_TRIPLES_CTE_BODY},
-outd AS (SELECT subj AS entity_id, count(*) AS out_degree,
-                count(DISTINCT conv_id) AS ca
+outd AS (SELECT subj AS entity_id, count(*) AS out_degree
          FROM triples GROUP BY subj),
-ind AS (SELECT obj AS entity_id, count(*) AS in_degree,
-               count(DISTINCT conv_id) AS cb
-        FROM triples GROUP BY obj)
+ind AS (SELECT obj AS entity_id, count(*) AS in_degree
+        FROM triples GROUP BY obj),
+convs AS (SELECT entity_id, count(DISTINCT conv_id) AS conv_mentions
+          FROM (SELECT subj AS entity_id, conv_id FROM triples
+                UNION ALL
+                SELECT obj AS entity_id, conv_id FROM triples)
+          GROUP BY entity_id)
 SELECT entity_id,
        CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
        CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
-       CAST(coalesce(ca, 0) + coalesce(cb, 0) AS BIGINT) AS conv_mentions
-FROM outd FULL JOIN ind USING (entity_id)
+       CAST(coalesce(conv_mentions, 0) AS BIGINT) AS conv_mentions
+FROM outd FULL JOIN ind USING (entity_id) FULL JOIN convs USING (entity_id)
 """
 
 KG_MENTION_PAIRS_SQL = f"""

@@ -351,12 +351,24 @@ def ngram_jaccard_pairs_within_groups(
     group_cols: list[str],
     text_col: str = "text",
     threshold: float = 0.6,
+    max_token_df: int = 1000,
 ) -> DataFrame:
     """Exact token-set Jaccard for all pairs within small groups — the
     SQL-checkable near-dup variant (inverted-index join on tokens, shared
     counts, then Jaccard). Only safe when groups are small; use
     ``near_duplicates_minhash`` for corpus-wide dedup.
-    Output: doc_a, doc_b, jaccard."""
+    Output: doc_a, doc_b, jaccard.
+
+    ``max_token_df``: (group, token) postings larger than this are dropped
+    from the shared-evidence index before the self-join — the same
+    stop-bucket guard as lsh_candidate_pairs' ``max_bucket``. A token
+    present in d docs of one group contributes d² join rows; without the
+    cap one hot (lang, source) group with a stopword-like token turns the
+    operator quadratic. Consequence (documented, like minhash recall):
+    pairs whose overlap relied on capped tokens have their intersection —
+    hence jaccard — underestimated, so this stays an exact operator only
+    while no group's token df exceeds the cap; n_a/n_b denominators are
+    computed before the cap and stay exact."""
     toks = docs.select(
         *group_cols, "doc_id",
         F.explode(
@@ -364,8 +376,18 @@ def ngram_jaccard_pairs_within_groups(
         ).alias("token"),
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
-    a = toks.alias("a")
-    b = toks.alias("b")
+    guarded = (
+        toks.withColumn(
+            "token_df",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(*group_cols, "token")
+            ),
+        )
+        .where(F.col("token_df") <= max_token_df)
+        .drop("token_df")
+    )
+    a = guarded.alias("a")
+    b = guarded.alias("b")
     shared = (
         a.join(b, group_cols + ["token"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

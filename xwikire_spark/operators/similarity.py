@@ -13,6 +13,9 @@ Python in the scoring loop.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -318,22 +321,66 @@ def kmeans_centroids(
     return cents
 
 
+# Above this many centroid floats the literal plan stops being a plan and
+# starts being a compile-time bomb (n_centroids x dim literals re-appear in
+# every assignment projection) — switch to a broadcast numpy matrix inside
+# a vectorized pandas UDF instead.
+_MAX_LITERAL_CENTROID_FLOATS = 4096
+
+
 def _assign_to_centroids(
     v: DataFrame, cents: list[tuple[int, list[float]]]
 ) -> DataFrame:
-    """Adds cid = argmax-cosine centroid (ties -> smallest cid); centroids
-    ride as literal arrays (broadcast-sized model, no join)."""
-    scored = F.array(
-        *[
-            F.struct(
-                (-_cosine(F.col("e"), F.array(*[F.lit(x) for x in ce])))
-                .alias("neg_cos"),
-                F.lit(cid).alias("cid"),
+    """Adds cid = argmax-cosine centroid (ties -> smallest cid).
+
+    Small models (<= _MAX_LITERAL_CENTROID_FLOATS floats) ride as literal
+    arrays — fully JVM, and the same constants can be re-derived in oracle
+    SQL. Larger models ship ONCE per executor as a SparkContext.broadcast
+    numpy matrix scored inside an Arrow-batched pandas UDF: one matmul per
+    batch, no plan bloat (production IVF sizes: 2^10+ centroids x 2^10
+    dims)."""
+    if sum(len(ce) for _, ce in cents) <= _MAX_LITERAL_CENTROID_FLOATS:
+        scored = F.array(
+            *[
+                F.struct(
+                    (-_cosine(F.col("e"), F.array(*[F.lit(x) for x in ce])))
+                    .alias("neg_cos"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, ce in cents
+            ]
+        )
+        return v.withColumn("cid", F.array_min(scored)["cid"])
+
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    cids = [cid for cid, _ in cents]
+    mat = np.array([ce for _, ce in cents], dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    bc = v.sparkSession.sparkContext.broadcast((cids, mat))
+
+    @F.pandas_udf(IntegerType())
+    def assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        b_cids, b_mat = bc.value
+        b_cids = np.array(b_cids)
+        order = np.argsort(b_cids)
+        for vecs in batches:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype="int32")
+                continue
+            x = np.stack(vecs.to_numpy())
+            x = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
             )
-            for cid, ce in cents
-        ]
-    )
-    return v.withColumn("cid", F.array_min(scored)["cid"])
+            # argmax with smallest-cid tie-break, matching the literal
+            # path's array_min over (neg_cos, cid) structs: columns sorted
+            # by cid ascending, argmax takes the first maximum
+            sims = (x @ b_mat.T)[:, order]
+            best = order[np.argmax(sims, axis=1)]
+            yield pd.Series(b_cids[best].astype("int32"))
+
+    return v.withColumn("cid", assign(F.col("e")))
 
 
 def ann_topk_ivf(

@@ -20,6 +20,7 @@ def global_rank(
     order: list[Column | str],
     rank_col: str = "rank",
     n_partitions: int | None = None,
+    stabilize: bool = False,
 ) -> DataFrame:
     """Scalable total-order rank (1-based row_number): range-repartition on
     the order expressions, rank within each partition, then add the
@@ -41,7 +42,17 @@ def global_rank(
     parquet scan + key-only range shuffle), which is marginal next to the
     full-width main pass. For iterative callers, localCheckpoint the input
     first and both passes read the checkpoint.
+
+    Determinism caveat (ADVICE r2): the two passes must resolve to the
+    SAME range-partition boundaries and spark_partition_id assignment —
+    true via exchange reuse on deterministic input, but a nondeterministic
+    upstream (rand(), sampled input, stage retry after executor loss)
+    could skew the offsets and duplicate/skip ranks. Pass
+    ``stabilize=True`` to eagerly localCheckpoint the input first, pinning
+    both passes to one materialization (costs one extra pass + storage).
     """
+    if stabilize:
+        df = df.localCheckpoint(eager=True)
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     parted = (
         df.repartitionByRange(n_partitions, *cols)

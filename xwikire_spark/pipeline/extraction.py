@@ -596,9 +596,16 @@ def detect_mentions_join(
         *ks, "sentence", F.explode(word_offsets_udf(F.col("sentence"))).alias("w")
     ).select(*ks, "sentence", F.col("w.tok").alias("tok"), F.col("w.pos").alias("pos"))
 
+    # The starts/ends-with-word-char contract from the docstring, ENFORCED
+    # in the plan (ADVICE r2): a violating alias (e.g. '-foo') would
+    # otherwise be keyed on its first interior word-run and then silently
+    # never pass substring verification — dropping recall with no signal.
+    # Rows failing the contract are excluded here, visibly, as dictionary
+    # hygiene rather than a quiet per-row no-op.
+    contract = F.col("alias").rlike(r"(?Us)^\w(.*\w)?$")
     dic = (
         pairs.select("alias", "entity_id", *tag)
-        .where(F.col("alias").isNotNull() & (F.col("alias") != ""))
+        .where(F.col("alias").isNotNull() & contract)
         .distinct()
         .withColumn("tok", F.regexp_extract("alias", r"(?U)\w+", 0))
         .where(F.col("tok") != "")

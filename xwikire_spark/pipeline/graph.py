@@ -21,27 +21,31 @@ from pyspark.sql import functions as F
 
 def vertex_table(triples: DataFrame) -> DataFrame:
     """One row per entity: out_degree (triples as subject), in_degree
-    (as object), n_convs (distinct conversations it appears in). Two hash
-    aggregates + one full outer join on the (small) entity key — the
-    triple table never shuffles twice on the same key."""
+    (as object), conv_mentions (TRUE distinct count of conversations the
+    entity appears in, either role — the roles are unioned before the
+    countDistinct, so a conversation where the entity is both subject and
+    object counts once; ADVICE r2 flagged the earlier role-summed double
+    count). Three hash aggregates on the (small) entity key."""
     outd = triples.groupBy(F.col("subj").alias("entity_id")).agg(
         F.count(F.lit(1)).alias("out_degree"),
-        F.countDistinct("conv_id").alias("convs_as_subj"),
     )
     ind = triples.groupBy(F.col("obj").alias("entity_id")).agg(
         F.count(F.lit(1)).alias("in_degree"),
-        F.countDistinct("conv_id").alias("convs_as_obj"),
+    )
+    convs = (
+        triples.select(F.col("subj").alias("entity_id"), "conv_id")
+        .unionByName(triples.select(F.col("obj").alias("entity_id"), "conv_id"))
+        .groupBy("entity_id")
+        .agg(F.countDistinct("conv_id").alias("conv_mentions"))
     )
     return (
         outd.join(ind, "entity_id", "full")
+        .join(convs, "entity_id", "full")
         .select(
             "entity_id",
             F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
-            (
-                F.coalesce("convs_as_subj", F.lit(0))
-                + F.coalesce("convs_as_obj", F.lit(0))
-            ).alias("conv_mentions"),
+            F.coalesce("conv_mentions", F.lit(0)).alias("conv_mentions"),
         )
     )
 

@@ -17,10 +17,16 @@ Late-data semantics (all within the watermark; later events are dropped by
 the engine):
 - a late event within ``gap`` of the open session's START extends the
   session backward (start moves earlier);
-- a late event more than ``gap`` before the open session forms its own
-  already-closed 1-event session, numbered at the current counter (i.e.
-  sequence reflects close order under cross-batch lateness, arrival order
-  otherwise) and the open session renumbers after it.
+- detached late events (more than ``gap`` before the open session) fold
+  into late RUNS: a within-batch cluster of late events with pairwise
+  gaps <= gap closes as ONE session — and merges into the open session if
+  backward extension brings them within gap — matching the batch
+  gap-session definition. Closed late runs are numbered at the current
+  counter (sequence reflects close order under cross-batch lateness,
+  arrival order otherwise) and the open session renumbers after them.
+- deliberate deviation from the batch oracle: a late cluster SPLIT ACROSS
+  micro-batches closes as one session per batch, because append-mode
+  output emits a closed session exactly once and cannot retract it.
 
 State lifecycle: closing a session via timeout KEEPS the (tiny) per-user
 counter in state — removing it would restart session_seq at 1 and emit
@@ -59,26 +65,56 @@ def fold_events(
 
     ``ts_us`` must be sorted ascending. Returns (closed_sessions,
     (seq, n, start_us, last_us)) where each closed session is
-    (seq, n_events, start_us, last_us)."""
+    (seq, n_events, start_us, last_us).
+
+    Detached late events (more than gap before the open session's start)
+    fold into a LATE-RUN BUFFER rather than each closing as its own
+    1-event session: a cluster of late events within gap of each other
+    closes as ONE session, and a late run that backward-extension brings
+    within gap of the open session merges into it — both matching the
+    batch gap-session definition (ADVICE r2). The buffer is per-fold:
+    late clusters split ACROSS batches still close separately, because a
+    closed session is emitted exactly once (append mode) and cannot be
+    retracted — the documented deviation from the batch oracle."""
     closed: list[tuple[int, int, int, int]] = []
+    late_n, late_start, late_last = 0, None, None
     for t in ts_us:
         if start_us is None:
             seq, n, start_us, last_us = seq + 1, 1, t, t
-        elif t < start_us:
-            if start_us - t <= gap_us:
-                # late event extends the open session backward
-                n += 1
-                start_us = t
+        elif start_us - t > gap_us:
+            # detached late event: fold into the late-run buffer
+            if late_last is not None and t - late_last <= gap_us:
+                late_n, late_last = late_n + 1, t
             else:
-                # detached late event: its own, immediately-closed session
-                closed.append((seq, 1, t, t))
-                seq += 1
+                if late_last is not None:
+                    closed.append((seq, late_n, late_start, late_last))
+                    seq += 1
+                late_n, late_start, late_last = 1, t, t
+        elif t < start_us:
+            # late event within gap: extends the open session backward
+            n += 1
+            start_us = t
         elif t - last_us > gap_us:
+            # a pending late run is older still: close it first so seq
+            # numbers follow close order
+            if late_last is not None:
+                closed.append((seq, late_n, late_start, late_last))
+                seq += 1
+                late_start = late_last = None
             closed.append((seq, n, start_us, last_us))
             seq, n, start_us, last_us = seq + 1, 1, t, t
         else:
             n += 1
             last_us = max(last_us, t)
+        # backward extension may have brought the open session within gap
+        # of the buffered late run: merge them
+        if late_last is not None and start_us - late_last <= gap_us:
+            n += late_n
+            start_us = late_start
+            late_start = late_last = None
+    if late_last is not None:
+        closed.append((seq, late_n, late_start, late_last))
+        seq += 1
     return closed, (seq, n, start_us, last_us)
 
 
