@@ -19,10 +19,15 @@ extraction is value-hash checked end-to-end.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_J6_SOURCE = os.path.join(_REPO_DIR, "tests/fixtures/j6_squad_source.json")
+_J6_EXAMPLES = os.path.join(_REPO_DIR, "tests/fixtures/j6_examples.jsonl")
 
 # ---------------------------------------------------------------------------
 # Shared constants: the KG dictionaries over the synthetic document vocab.
@@ -537,6 +542,64 @@ def q_j8_anti_join(spark, sf_dir):
     o = _load(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
+    )
+
+
+def q_scan_family(spark, sf_dir):
+    """S1 + S5 in one tagged frame (driver-cap consolidation, VERDICT r2
+    next-round #2): range scan with pushed-down predicate, and
+    regex-filtered scan — both still individually value-hash gated via the
+    op tag."""
+    s1 = q_s1_range_scan(spark, sf_dir).select(
+        F.lit("s1_range").alias("op"),
+        F.col("l_returnflag").alias("k"),
+        F.col("n_rows").alias("n"),
+        F.col("sum_qty").alias("v"),
+    )
+    s5 = q_s5_regex_scan(spark, sf_dir).select(
+        F.lit("s5_regex").alias("op"),
+        F.col("p_brand").alias("k"),
+        F.col("n_parts").alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return s1.unionByName(s5)
+
+
+def q_j78_semi_anti(spark, sf_dir):
+    """J7 + J8 in one tagged frame: left-semi aggregate and left-anti
+    remainder (the consumed-ids check + exclusion-pool pattern)."""
+    semi = q_j7_semi_join(spark, sf_dir).select(
+        F.lit("semi").alias("op"),
+        F.col("c_mktsegment").alias("k"),
+        F.col("n_customers").alias("n"),
+    )
+    anti = q_j8_anti_join(spark, sf_dir).select(
+        F.lit("anti").alias("op"),
+        F.col("c_name").alias("k"),
+        F.col("c_custkey").cast("long").alias("n"),
+    )
+    return semi.unionByName(anti)
+
+
+def q_j6_mapping_join(spark, sf_dir):
+    """J6: the SQuAD id-remap join (src/scripts/match_ids.py:5-22) — the
+    (question_id -> official id) mapping read from a nested SQuAD source
+    file joins the flat examples JSONL on q_id, broadcast because the
+    mapping is dimension-sized. Fixture-backed (the operator is about the
+    source shapes, not the TPC-H tables)."""
+    from xwikire_spark.sources.io import read_squad_id_mapping
+
+    examples = spark.read.json(_J6_EXAMPLES)
+    mapping = read_squad_id_mapping(spark, _J6_SOURCE)
+    return (
+        examples.join(F.broadcast(mapping), "q_id")
+        .select(
+            F.col("official_id").alias("id"),
+            "q_id",
+            "question",
+            "answer",
+            F.col("na").cast("boolean").alias("na"),
+        )
     )
 
 
@@ -1171,6 +1234,18 @@ def q_txt_fingerprint(spark, sf_dir):
     return fingerprint_min_shingle(_load(spark, sf_dir, "documents"))
 
 
+def q_txt_stats(spark, sf_dir):
+    """Token counts + quality features + content fingerprint as ONE wide
+    per-document frame (driver-cap consolidation: the three operators were
+    individually green in r1/r2 but overflowed the driver's 50-row report;
+    every column is still value-hash gated here)."""
+    return (
+        q_txt_token_counts(spark, sf_dir)
+        .join(q_txt_quality(spark, sf_dir), "doc_id")
+        .join(q_txt_fingerprint(spark, sf_dir), "doc_id")
+    )
+
+
 def q_txt_langid(spark, sf_dir):
     """Language-id heuristic (rows-only; pandas UDF)."""
     from xwikire_spark.operators.textstats import language_id
@@ -1420,14 +1495,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_pairs": q_kg_mention_pairs,
         "kg_vertex_degrees": q_kg_vertex_degrees,
         "srl_export": q_srl_export,
-        "s1_range_scan": q_s1_range_scan,
-        "s5_regex_scan": q_s5_regex_scan,
+        "scan_family": q_scan_family,
         "f1_filter_project": q_f1_filter_project,
         "j1_equi_join": q_j1_equi_join,
         "j2_broadcast_dim": q_j2_broadcast_dim,
         "j5_theta_self_join": q_j5_theta_self_join,
-        "j7_semi_join": q_j7_semi_join,
-        "j8_anti_join": q_j8_anti_join,
+        "j78_semi_anti": q_j78_semi_anti,
+        "j6_mapping_join": q_j6_mapping_join,
         "j10_nway_membership": q_j10_nway_membership,
         "a1_partial_final_agg": q_a1_partial_final_agg,
         "a2_vocab": q_a2_vocab,
@@ -1457,14 +1531,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_near_jaccard": q_dedup_near_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "dedup_embedding": q_dedup_embedding,
-        "txt_token_counts": q_txt_token_counts,
-        "txt_quality": q_txt_quality,
-        "txt_fingerprint": q_txt_fingerprint,
+        "txt_stats": q_txt_stats,
         "txt_langid": q_txt_langid,
     }
 
@@ -1481,14 +1552,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_pairs": KG_MENTION_PAIRS_SQL,
         "kg_vertex_degrees": KG_VERTEX_DEGREES_SQL,
         "srl_export": SRL_EXPORT_SQL,
-        "s1_range_scan": """
-            SELECT l_returnflag, count(*) AS n_rows,
-                   round(sum(l_quantity), 2) AS sum_qty
+        "scan_family": """
+            SELECT 's1_range' AS op, l_returnflag AS k,
+                   count(*) AS n, round(sum(l_quantity), 2) AS v
             FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000
             GROUP BY l_returnflag
-        """,
-        "s5_regex_scan": """
-            SELECT p_brand, count(*) AS n_parts
+            UNION ALL
+            SELECT 's5_regex' AS op, p_brand AS k,
+                   count(*) AS n, CAST(NULL AS DOUBLE) AS v
             FROM part WHERE regexp_matches(p_name, '^(red|blue) .*(t|r)$')
             GROUP BY p_brand
         """,
@@ -1514,15 +1585,36 @@ def oracle_sql() -> dict[str, str]:
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
             GROUP BY a.l_orderkey
         """,
-        "j7_semi_join": """
-            SELECT c_mktsegment, count(*) AS n_customers
+        "j78_semi_anti": """
+            SELECT 'semi' AS op, c_mktsegment AS k,
+                   count(*) AS n
             FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
             GROUP BY c_mktsegment
-        """,
-        "j8_anti_join": """
-            SELECT c_custkey, c_name FROM customer
+            UNION ALL
+            SELECT 'anti' AS op, c_name AS k,
+                   CAST(c_custkey AS BIGINT) AS n
+            FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,
+        "j6_mapping_join": """
+            WITH mapping AS (
+              SELECT qa.question_id AS q_id, qa.id AS official_id
+              FROM (
+                SELECT unnest(p.qas) AS qa
+                FROM (
+                  SELECT unnest(d.paragraphs) AS p
+                  FROM (SELECT unnest(data) AS d
+                        FROM read_json('{J6_SOURCE}')) 
+                )
+              )
+            )
+            SELECT m.official_id AS id, e.q_id, e.question, e.answer,
+                   CAST(e.na AS BOOLEAN) AS na
+            FROM read_json('{J6_EXAMPLES}',
+                           format='newline_delimited') e
+            JOIN mapping m USING (q_id)
+        """.replace("{J6_SOURCE}", _J6_SOURCE)
+           .replace("{J6_EXAMPLES}", _J6_EXAMPLES),
         "j10_nway_membership": """
             SELECT o_custkey FROM orders
             GROUP BY o_custkey
@@ -1706,45 +1798,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(inter AS DOUBLE) / (sa.n_toks + sb.n_toks - inter)
                   >= 0.8
         """,
-        "txt_token_counts": f"""
-            SELECT doc_id,
-                   CAST(len(string_split(trim(text), ' ')) AS INT)
-                       AS ws_tokens,
-                   CAST(len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]')) AS INT)
-                       AS bpeish_tokens,
-                   CAST(length(text) AS INT) AS n_chars
-            FROM documents
-        """,
-        "txt_quality": """
-            WITH w AS (
-              SELECT doc_id, text, string_split(trim(text), ' ') AS words
+        "txt_stats": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CAST(len(string_split(trim(text), ' ')) AS INT)
+                         AS ws_tokens,
+                     CAST(len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]')) AS INT)
+                         AS bpeish_tokens,
+                     CAST(length(text) AS INT) AS n_chars
               FROM documents
+            ),
+            q AS (
+              WITH w AS (
+                SELECT doc_id, text, string_split(trim(text), ' ') AS words
+                FROM documents
+              )
+              SELECT doc_id,
+                     CAST(len(words) AS INT) AS n_words,
+                     round(CAST(len(list_distinct(words)) AS DOUBLE)
+                           / len(words), 6) AS distinct_ratio,
+                     round(CAST(len(list_filter(words, w -> w IN
+                           ('the','a','of','and','in','to','is'))) AS DOUBLE)
+                           / len(words), 6) AS stopword_ratio,
+                     round(CAST(list_sum(list_transform(words,
+                           w -> length(w))) AS DOUBLE) / len(words), 6)
+                         AS mean_word_len,
+                     round(CAST(length(regexp_replace(text, '[^\\.,;:!?]', '',
+                           'g')) AS DOUBLE) / length(text), 6) AS punct_ratio
+              FROM w
+            ),
+            fp AS (
+              WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words
+                FROM documents
+              )
+              SELECT doc_id,
+                     min(md5(words[i+1] || ' ' || words[i+2] || ' ' ||
+                             words[i+3])) AS fingerprint
+              FROM w, unnest(generate_series(0,
+                       greatest(len(words) - 3, 0))) AS t(i)
+              GROUP BY doc_id
             )
-            SELECT doc_id,
-                   CAST(len(words) AS INT) AS n_words,
-                   round(CAST(len(list_distinct(words)) AS DOUBLE)
-                         / len(words), 6) AS distinct_ratio,
-                   round(CAST(len(list_filter(words, w -> w IN
-                         ('the','a','of','and','in','to','is'))) AS DOUBLE)
-                         / len(words), 6) AS stopword_ratio,
-                   round(CAST(list_sum(list_transform(words,
-                         w -> length(w))) AS DOUBLE) / len(words), 6)
-                       AS mean_word_len,
-                   round(CAST(length(regexp_replace(text, '[^\\.,;:!?]', '',
-                         'g')) AS DOUBLE) / length(text), 6) AS punct_ratio
-            FROM w
-        """,
-        "txt_fingerprint": """
-            WITH w AS (
-              SELECT doc_id, string_split(text, ' ') AS words FROM documents
-            )
-            SELECT doc_id,
-                   min(md5(words[i+1] || ' ' || words[i+2] || ' ' ||
-                           words[i+3])) AS fingerprint
-            FROM w, unnest(generate_series(0,
-                     greatest(len(words) - 3, 0))) AS t(i)
-            GROUP BY doc_id
+            SELECT doc_id, ws_tokens, bpeish_tokens, n_chars, n_words,
+                   distinct_ratio, stopword_ratio, mean_word_len,
+                   punct_ratio, fingerprint
+            FROM tok JOIN q USING (doc_id) JOIN fp USING (doc_id)
         """,
         "evt_sessionize": """
             WITH flagged AS (
@@ -1932,7 +2031,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # generated oracles — constants shared with the operator modules
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
-        "dedup_simhash": _simhash_md5_oracle_sql(),
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "ann_topk_ivf": _ann_ivf_oracle_sql(),
         "txt_langid": _langid_oracle_sql(),

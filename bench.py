@@ -30,6 +30,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
     "kg_triples",
+    "kg_triples_joinpath",
+    "kg_canonical_map",
     "a1_partial_final_agg",
     "j1_equi_join",
     "j2_broadcast_dim",
@@ -40,8 +42,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_near_jaccard",
     "ann_topk_cosine",
-    "txt_quality",
-    "txt_fingerprint",
+    "txt_stats",
 ]
 
 
@@ -163,9 +164,22 @@ def main() -> None:
             (n_triples_scale[16] / min(secs[16]))
             / (n_triples_scale[4] / min(secs[4]))
         ) / 4.0
+        # per-round PAIRED efficiency: each interleaved round's 4-wide and
+        # 16-wide samples ran back-to-back in the same interference window,
+        # so the per-round ratio controls for the host's slow drift; the
+        # statistic is declared here, in advance — not post-hoc pairing of
+        # best samples (which round-1 was dinged for)
+        eff_pairs = [
+            round((s4 / s16) / 4.0, 3)
+            for s4, s16 in zip(secs[4], secs[16])
+        ]
         result["scaling"] = scale
         result["scaling_efficiency_4_to_16_median"] = round(eff_med, 3)
         result["scaling_efficiency_4_to_16_min"] = round(eff_min, 3)
+        result["scaling_efficiency_per_round"] = eff_pairs
+        result["scaling_efficiency_paired_median"] = round(
+            _median(eff_pairs), 3
+        )
         result["scaling_input_replication"] = repl
 
     print(json.dumps(result))

@@ -465,3 +465,28 @@ class TestIVFBroadcastAssignment:
         assert {r["vec_id"]: r["cid"] for r in out.collect()} == {
             "a": 0, "b": 1,
         }
+
+
+class TestSimHashOracleGate:
+    def test_simhash_md5_matches_duckdb_oracle(self, spark):
+        """The simhash md5-twin's value-hash gate, kept as a pytest after
+        its driver row was consolidated away (the driver report caps at 50
+        entries; VERDICT r2 next-round #2). Same generated SQL, same
+        engine-vs-engine comparison, at sf0.001 for speed."""
+        import duckdb
+        import pandas as pd
+
+        import __spark_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        sdf = e.q_dedup_simhash(spark, sf).toPandas()
+        odf = con.execute(e._simhash_md5_oracle_sql()).df()
+        cols = list(sdf.columns)
+        a = sdf.sort_values(cols).reset_index(drop=True)
+        b = odf[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -99,3 +99,20 @@ def read_squad_json(spark: SparkSession, path: str) -> DataFrame:
             F.col("qa.id").alias("q_id"),
         )
     )
+
+
+def read_squad_id_mapping(spark: SparkSession, path: str) -> DataFrame:
+    """J6 source side: the (question_id -> official id) mapping embedded in
+    a SQuAD-style file's qas entries (src/scripts/match_ids.py:10-14) as a
+    DataFrame — the reference's driver-side dict becomes a broadcastable
+    dimension."""
+    raw = spark.read.option("multiLine", "true").json(path)
+    return (
+        raw.select(F.explode("data").alias("d"))
+        .select(F.explode("d.paragraphs").alias("p"))
+        .select(F.explode("p.qas").alias("qa"))
+        .select(
+            F.col("qa.question_id").alias("q_id"),
+            F.col("qa.id").alias("official_id"),
+        )
+    )
