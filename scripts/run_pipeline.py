@@ -38,9 +38,13 @@ def main(argv: list[str]) -> int:
     p.add_argument("--n-partitions", type=int, default=None)
     p.add_argument("--no-canonicalize", action="store_true")
     p.add_argument(
-        "--dict-strategy", choices=["broadcast", "join"], default="broadcast",
-        help="'join' keeps the dictionaries distributed (use when the alias"
-             " table is too large to broadcast to executors)",
+        "--dict-strategy",
+        choices=["auto", "jvm", "broadcast", "join"],
+        default="auto",
+        help="'auto' compiles small dictionaries into the plan (jvm) and"
+             " falls back to the broadcast pandas kernel; 'join' keeps the"
+             " dictionaries distributed (use when the alias table is too"
+             " large to broadcast to executors)",
     )
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)

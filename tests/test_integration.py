@@ -74,3 +74,71 @@ def test_full_qa_chain(spark, tmp_path):
     back = read_jsonl(spark, out)
     assert back.count() == examples.count()
     assert set(back.columns) == set(examples.columns)
+
+
+def test_run_pipeline_subprocess_join_strategy_with_resume(spark, tmp_path):
+    """VERDICT r2 #8: the spark-submit entry (scripts/run_pipeline.py) run
+    end-to-end as a SUBPROCESS on synthetic sf0.001-scale parquet with
+    --dict-strategy join, then resumed after a simulated mid-run kill
+    (a subset of bucket outputs + their manifest rows removed — exactly
+    the on-disk state a crash leaves). The resumed run must (a) only
+    reprocess the missing buckets and (b) reproduce the uninterrupted
+    run's triples exactly."""
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    import pandas as pd
+
+    from xwikire_spark import datagen
+
+    root = str(tmp_path)
+    rows, _ = datagen.generate_transcripts(n_convs=60, turns_per_conv=8)
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(f"{root}/tr")
+    spark.createDataFrame(
+        pd.DataFrame(datagen.alias_rows())
+    ).write.parquet(f"{root}/al")
+    spark.createDataFrame(
+        pd.DataFrame(datagen.predicate_rows())
+    ).write.parquet(f"{root}/pr")
+
+    def run(out):
+        return subprocess.run(
+            [_sys.executable, "scripts/run_pipeline.py",
+             "--transcripts", f"{root}/tr", "--alias-dict", f"{root}/al",
+             "--predicate-dict", f"{root}/pr", "--out", out,
+             "--n-buckets", "8", "--dict-strategy", "join",
+             "--no-canonicalize", "--master", "local[4]"],
+            capture_output=True, text=True, timeout=600,
+            cwd=str(__import__("pathlib").Path(__file__).parent.parent),
+        )
+
+    r1 = run(f"{root}/full")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    full = spark.read.parquet(f"{root}/full/triples")
+    want = sorted(map(tuple, full.drop("part_bucket").collect()))
+    assert want, "pipeline produced no triples"
+
+    # second output dir: complete run, then surgically remove 3 buckets'
+    # outputs AND manifest rows (the state a kill leaves: those buckets
+    # never committed)
+    r2 = run(f"{root}/resume")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    mani = spark.read.parquet(f"{root}/resume/_manifests").toPandas()
+    done_buckets = sorted(mani["bucket"])
+    killed = done_buckets[:3]
+    kept = mani[~mani["bucket"].isin(killed)]
+    shutil.rmtree(f"{root}/resume/_manifests")
+    spark.createDataFrame(kept).write.parquet(f"{root}/resume/_manifests")
+    for b in killed:
+        shutil.rmtree(f"{root}/resume/triples/part_bucket={b}")
+
+    r3 = run(f"{root}/resume")
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    resumed = spark.read.parquet(f"{root}/resume/triples")
+    got = sorted(map(tuple, resumed.drop("part_bucket").collect()))
+    assert got == want
+    # resume only reprocessed the killed buckets: manifests for survivors
+    # kept their original wall_ms rows (count per bucket stays 1)
+    mani2 = spark.read.parquet(f"{root}/resume/_manifests").toPandas()
+    assert sorted(mani2["bucket"]) == done_buckets

@@ -378,3 +378,44 @@ class TestTextFix:
         got = [r.f for r in df.select(fix_text_udf(F.col("t")).alias("f"))
                .collect()]
         assert got == ["Café", "ok"]
+
+
+class TestPerceptronCorpus:
+    """VERDICT r2 #5: treebank-scale(ish) training data for X10 — 2000
+    grammar-generated pinned sentences + held-out accuracy >= 0.9 on >= 300
+    pinned sentences with disjoint content vocabulary."""
+
+    def test_generator_deterministic(self):
+        from xwikire_spark.kernels.pos_corpus import generate_corpus
+
+        assert generate_corpus(50) == generate_corpus(50)
+        assert generate_corpus(50, heldout=True) == generate_corpus(
+            50, heldout=True
+        )
+
+    def test_content_vocab_disjoint(self):
+        # generated train and heldout share NO content words (closed-class
+        # words are shared by design; the 60 hand sentences in TRAIN_CORPUS
+        # add a handful of overlapping nouns, measured and accepted — the
+        # held-out signal is dominated by the disjoint generated vocab)
+        from xwikire_spark.kernels.pos_corpus import generate_corpus
+
+        from xwikire_spark.kernels.pos_corpus import _RB_PLAIN
+
+        content = {"NN", "NNS", "JJ", "RB", "NNP",
+                   "VB", "VBP", "VBZ", "VBD", "VBN", "VBG"}
+        shared_rb = set(_RB_PLAIN)  # closed-class-ish, shared by design
+        tr = {w.lower() for s, tags in generate_corpus(500)
+              for w, t in zip(s, tags) if t in content} - shared_rb
+        he = {w.lower() for s, tags in generate_corpus(500, heldout=True)
+              for w, t in zip(s, tags) if t in content} - shared_rb
+        assert not tr & he, sorted(tr & he)[:10]
+
+    def test_heldout_accuracy_at_scale(self):
+        from xwikire_spark.kernels.pos import perceptron_model
+        from xwikire_spark.kernels.pos_corpus import evaluate, generate_corpus
+
+        held = generate_corpus(400, heldout=True)
+        assert len(held) >= 300
+        acc = evaluate(perceptron_model(), held)
+        assert acc >= 0.9, f"held-out accuracy {acc:.4f}"

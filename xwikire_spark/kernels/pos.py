@@ -89,15 +89,22 @@ _PERCEPTRON_MODEL: dict | None = None
 
 def perceptron_model() -> dict:
     """The embedded-corpus averaged-perceptron model, trained once per
-    process (deterministic: pinned corpus + seeded shuffle). Driver-side
-    callers broadcast this dict into the tagging UDF; executor-side lazy
-    training yields the identical model."""
+    process (deterministic: pinned corpora + seeded shuffle + seeded
+    grammar). Training data = the 60 hand-tagged sentences plus 2000
+    grammar-generated ones (kernels/pos_corpus.py) — held-out accuracy
+    0.95+ on 400 pinned sentences with disjoint content vocabulary
+    (tests/test_kernels.py::TestPerceptronCorpus). Driver-side callers
+    broadcast this dict into the tagging UDF; executor-side lazy training
+    yields the identical model."""
     global _PERCEPTRON_MODEL
     if _PERCEPTRON_MODEL is None:
         from xwikire_spark.kernels.perceptron import train_tagger
+        from xwikire_spark.kernels.pos_corpus import generate_corpus
         from xwikire_spark.kernels.pos_data import TRAIN_CORPUS
 
-        _PERCEPTRON_MODEL = train_tagger(TRAIN_CORPUS)
+        _PERCEPTRON_MODEL = train_tagger(
+            TRAIN_CORPUS + generate_corpus(2000)
+        )
     return _PERCEPTRON_MODEL
 
 
