@@ -1238,12 +1238,12 @@ def q_txt_stats(spark, sf_dir):
     """Token counts + quality features + content fingerprint as ONE wide
     per-document frame (driver-cap consolidation: the three operators were
     individually green in r1/r2 but overflowed the driver's 50-row report;
-    every column is still value-hash gated here)."""
-    return (
-        q_txt_token_counts(spark, sf_dir)
-        .join(q_txt_quality(spark, sf_dir), "doc_id")
-        .join(q_txt_fingerprint(spark, sf_dir), "doc_id")
-    )
+    every column is still value-hash gated here). Single projection — one
+    corpus scan, zero shuffles (joining the three per-doc frames would
+    scan 3x and sort-merge-shuffle twice)."""
+    from xwikire_spark.operators.textstats import document_stats
+
+    return document_stats(_load(spark, sf_dir, "documents"))
 
 
 def q_txt_langid(spark, sf_dir):

@@ -394,3 +394,25 @@ class TestMentionPathEquivalence:
             f"join-only={list(join_path - regex_path)[:4]}"
         )
         assert len(regex_path) > 100  # the corpus actually exercises it
+
+    def test_auto_strategy_falls_back_above_surface_cap(self, spark, corpus):
+        """auto = jvm under the surface cap, broadcast kernel above it:
+        with a padded >cap alias dictionary the plan must contain NO
+        regexp_extract_all (no literal dictionary in the plan) and exactly
+        one Python chain (the fused kernel)."""
+        _, _, transcripts, alias_df, pred_df = corpus
+        pad = spark.range(1500).select(
+            F.concat(F.lit("zqx"), F.col("id")).alias("alias"),
+            F.concat(F.lit("QP"), F.col("id")).alias("entity_id"),
+        )
+        big = alias_df.select("alias", "entity_id").unionByName(pad)
+        df = extract_triples(transcripts, big, pred_df)  # auto
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "regexp_extract_all" not in plan
+        assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
+        # and values still match the small-dictionary run (padding never hits)
+        small = {tuple(r) for r in extract_triples(
+            transcripts, alias_df, pred_df, dict_strategy="broadcast"
+        ).select(*TRIPLE_KEY).collect()}
+        got = {tuple(r) for r in df.select(*TRIPLE_KEY).collect()}
+        assert got == small

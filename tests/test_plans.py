@@ -142,3 +142,24 @@ class TestFlagshipPlans:
         assert count_exchanges(df) == 1, (
             "extraction must shuffle exactly once (the dedup aggregate)"
         )
+
+
+def test_document_stats_single_scan_no_shuffle(spark, tmp_path):
+    """txt_stats / document_stats must be ONE projection over one scan:
+    no Exchange, no Join in the plan (the naive three-frame join costs 3
+    scans + 2 sort-merge shuffles of the whole corpus at 100 TB)."""
+    import pandas as pd
+
+    from xwikire_spark.operators.textstats import document_stats
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        pd.DataFrame([{"doc_id": 1, "text": "a b c d e"}])
+    ).write.parquet(p)
+    plan = (
+        document_stats(spark.read.parquet(p))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1

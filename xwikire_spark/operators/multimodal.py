@@ -1,12 +1,13 @@
 """Multimodal column handling: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, which produces a deterministic fake decode so the
+Decode status (round 3): PNG and binary-PPM decode/resize/re-encode are
+REAL — pure-stdlib zlib codec in ``kernels/imagecodec.py`` — so
+``fake=False`` works end-to-end for those formats. Other codecs (JPEG,
+audio, video frames) still raise NotImplementedError without PIL/libvips;
+``fake=True`` keeps the deterministic byte-stat path for them. The
 Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
-is real and tested. Swap ``_decode_image_bytes`` for a PIL/libvips call in
-production; nothing else changes.
+is identical across all three paths.
 
 Scale notes: binary payloads ride the columnar path (Arrow buffers, no
 base64); batch size is bounded by bytes not rows
@@ -45,10 +46,11 @@ def _decode_image_bytes(payload: bytes, fake: bool):
             float(n % 17),
             float(n % 29),
         ]
-    raise NotImplementedError(
-        "image decode requires PIL/libvips — not available in this "
-        "container; pass fake=True for the deterministic test path"
-    )
+    # REAL decode for PNG/PPM (pure stdlib, kernels/imagecodec.py); other
+    # codecs raise NotImplementedError there until PIL/libvips exists
+    from xwikire_spark.kernels.imagecodec import channel_stats, decode_image
+
+    return channel_stats(*decode_image(payload))
 
 
 def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -125,6 +127,14 @@ def resize_images(
 
         import pandas as pd
 
+        from xwikire_spark.kernels.imagecodec import (
+            decode_image,
+            encode_png,
+            encode_ppm,
+            resize_nearest,
+            sniff_format,
+        )
+
         for pdf in batches:
             payloads, widths, heights = [], [], []
             for payload, kind, w0, h0 in zip(
@@ -139,19 +149,24 @@ def resize_images(
                     heights.append(None if pd.isna(h0) else int(h0))
                     continue
                 if not fake:
-                    raise NotImplementedError(
-                        "image resize requires PIL/libvips — not available"
-                        " in this container; pass fake=True for the"
-                        " deterministic test path"
+                    # REAL path: stdlib PNG/PPM decode -> nearest-neighbor
+                    # resample -> re-encode in the same family; other
+                    # codecs raise NotImplementedError (decode_image)
+                    w1, h1, ch, px = decode_image(b)
+                    rp = resize_nearest(w1, h1, ch, px, width, height)
+                    if sniff_format(b) == "ppm" and ch == 3:
+                        payloads.append(encode_ppm(width, height, rp))
+                    else:
+                        payloads.append(encode_png(width, height, ch, rp))
+                else:
+                    seed = hashlib.sha1(
+                        b + f"{width}x{height}".encode()
+                    ).digest()
+                    payloads.append(
+                        (seed * (width * height // len(seed) + 1))[
+                            : width * height
+                        ]
                     )
-                seed = hashlib.sha1(
-                    b + f"{width}x{height}".encode()
-                ).digest()
-                payloads.append(
-                    (seed * (width * height // len(seed) + 1))[
-                        : width * height
-                    ]
-                )
                 widths.append(width)
                 heights.append(height)
             yield pd.DataFrame(

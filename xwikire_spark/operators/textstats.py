@@ -23,22 +23,22 @@ STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
 BPEISH_PATTERN = "[A-Za-z]+|[0-9]+|[^ A-Za-z0-9]"
 
 
-def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace + BPE-ish token counts per document (JVM regex)."""
-    return docs.select(
-        "doc_id",
+def token_count_cols(text_col: str = "text") -> list:
+    """The token-count features as named Columns — composable into a single
+    projection alongside the other per-document stats (one scan, no joins:
+    a stats pass over 100 TB must not read the corpus once per feature
+    family)."""
+    return [
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
         F.size(
             F.expr(f"regexp_extract_all({text_col}, '{BPEISH_PATTERN}', 0)")
         ).alias("bpeish_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
-    )
+    ]
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality features: length, distinct-token ratio, stopword
-    ratio, mean word length, punctuation ratio. Deterministic, rounded for
-    cross-engine comparison."""
+def quality_score_cols(text_col: str = "text") -> list:
+    """Quality features as named Columns (see token_count_cols)."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(words)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -47,8 +47,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
     n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^\.,;:!?]", ""))
-    return docs.select(
-        "doc_id",
+    return [
         n.alias("n_words"),
         F.round(F.size(F.array_distinct(words)) / n, 6).alias(
             "distinct_ratio"
@@ -56,6 +55,40 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(n_stop / n, 6).alias("stopword_ratio"),
         F.round(total_wlen / n, 6).alias("mean_word_len"),
         F.round(n_punct / F.length(F.col(text_col)), 6).alias("punct_ratio"),
+    ]
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts per document (JVM regex)."""
+    return docs.select("doc_id", *token_count_cols(text_col))
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, distinct-token ratio, stopword
+    ratio, mean word length, punctuation ratio. Deterministic, rounded for
+    cross-engine comparison."""
+    return docs.select("doc_id", *quality_score_cols(text_col))
+
+
+def fingerprint_col(text_col: str = "text", k: int = 3):
+    """min-md5-shingle fingerprint as a named Column."""
+    from xwikire_spark.operators.dedup import _shingles
+
+    return F.array_min(
+        F.transform(_shingles(text_col, k), lambda s: F.md5(s))
+    ).alias("fingerprint")
+
+
+def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """ALL per-document stats (token counts + quality + fingerprint) in ONE
+    projection: one corpus scan, zero joins/shuffles — the plan a stats
+    sweep over 100 TB needs (joining the three per-doc frames instead
+    costs three scans and two sort-merge shuffles of the whole corpus)."""
+    return docs.select(
+        "doc_id",
+        *token_count_cols(text_col),
+        *quality_score_cols(text_col),
+        fingerprint_col(text_col),
     )
 
 
@@ -66,14 +99,7 @@ def fingerprint_min_shingle(
     content fingerprint robust to suffix edits. SQL-expressible (oracle in
     __spark_entry__). Shingles come from the zip_with construction in
     operators.dedup (the per-index element_at shape is O(words²))."""
-    from xwikire_spark.operators.dedup import _shingles
-
-    return docs.select(
-        "doc_id",
-        F.array_min(
-            F.transform(_shingles(text_col, k), lambda s: F.md5(s))
-        ).alias("fingerprint"),
-    )
+    return docs.select("doc_id", fingerprint_col(text_col, k))
 
 
 # --- language id: character-n-gram profiles, vectorized pandas UDF --------

@@ -42,7 +42,17 @@ def srl_rows(triples: DataFrame, tagger: str = "rule") -> DataFrame:
     ``tagger``: "rule" (default — the pinned, SQL-mirrorable contract the
     driver oracle checks) or "perceptron" (the trained averaged-perceptron
     X10 path for real text; nltk.pos_tag architecture parity,
-    kernels/perceptron.py)."""
+    kernels/perceptron.py). The perceptron model trains ONCE on the driver
+    and ships via SparkContext.broadcast — at 1000 executors the previous
+    lazy per-worker retrain cost ~5 s x workers and shipped the training
+    corpus in every task closure instead."""
+    model_bc = None
+    if tagger == "perceptron":
+        from xwikire_spark.kernels.pos import perceptron_model
+
+        model_bc = triples.sparkSession.sparkContext.broadcast(
+            perceptron_model()
+        )
 
     def gen(batches):
         import hashlib
@@ -56,12 +66,19 @@ def srl_rows(triples: DataFrame, tagger: str = "rule") -> DataFrame:
         from xwikire_spark.kernels.pos import (
             contains_verb,
             pos_tag as rule_tag,
-            pos_tag_perceptron,
         )
         from xwikire_spark.kernels.textfix import fix_text
         from xwikire_spark.kernels.tokenizer import tokenize_with_breaks
 
-        pos_tag = pos_tag_perceptron if tagger == "perceptron" else rule_tag
+        if model_bc is not None:
+            from xwikire_spark.kernels.perceptron import tag_with_model
+
+            model = model_bc.value
+
+            def pos_tag(tokens):
+                return tag_with_model(tokens, model)
+        else:
+            pos_tag = rule_tag
         cols = [f.split()[0] for f in SRL_SCHEMA.split(", ")]
         for pdf in batches:
             out = {c: [] for c in cols}
