@@ -1840,10 +1840,27 @@ def oracle_sql() -> dict[str, str]:
                        greatest(len(words) - 3, 0))) AS t(i)
               GROUP BY doc_id
             )
+            , rep AS (
+              WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words
+                FROM documents
+              ), g AS (
+                SELECT doc_id,
+                       [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in generate_series(1, len(words) - 2)] AS sh
+                FROM w
+              )
+              SELECT doc_id,
+                     CASE WHEN len(sh) = 0 THEN 0.0
+                          ELSE round(1 - CAST(len(list_distinct(sh)) AS
+                               DOUBLE) / len(sh), 6) END AS rep3_ratio
+              FROM g
+            )
             SELECT doc_id, ws_tokens, bpeish_tokens, n_chars, n_words,
                    distinct_ratio, stopword_ratio, mean_word_len,
-                   punct_ratio, fingerprint
+                   punct_ratio, fingerprint, rep3_ratio
             FROM tok JOIN q USING (doc_id) JOIN fp USING (doc_id)
+                     JOIN rep USING (doc_id)
         """,
         "evt_sessionize": """
             WITH flagged AS (

@@ -127,6 +127,20 @@ def main() -> None:
         import shutil
 
         taskset = shutil.which("taskset")
+        # Per-round HARDWARE/HOST CEILING calibration: the same extraction
+        # kernel under plain mp.Pool (zero Spark) runs INSIDE each probe
+        # process, bracketing the timed Spark runs (pre+post, same pinned
+        # cores) — so the ceiling samples the same interference window the
+        # Spark runs saw. On this shared box the ceiling itself swings
+        # (0.4-1.6 observed round-to-round: co-tenant memory traffic +
+        # all-core turbo), so each round's raw Spark efficiency is also
+        # reported NORMALIZED by that round's ceiling — "how much of the
+        # scaling the host permitted did Spark deliver". On a real
+        # 4-node-vs-1-node cluster the ceiling is ~1.0 (4x nodes bring 4x
+        # memory systems, no co-tenants), so the normalized number is the
+        # cluster-relevant one; both are reported.
+        mins: dict[int, list[float]] = {4: [], 16: []}
+        calib: dict[int, list[float]] = {4: [], 16: []}
         for _ in range(k):
             for cores in (4, 16):
                 # pin the whole process tree (JVM + python workers) to
@@ -143,6 +157,8 @@ def main() -> None:
                 ).stdout.strip().splitlines()[-1]
                 r = _json.loads(out)
                 secs[cores].append(r["sec"])
+                mins[cores].append(r.get("sec_min", r["sec"]))
+                calib[cores].append(r.get("calib_sec", 0.0))
                 n_triples_scale[cores] = r["n_triples"]
         scale = {}
         for cores in (4, 16):
@@ -173,12 +189,53 @@ def main() -> None:
             round((s4 / s16) / 4.0, 3)
             for s4, s16 in zip(secs[4], secs[16])
         ]
+        # per-round PAIRED efficiency on per-process MINIMA: within one
+        # process the 3 warm runs differ only by one-sided interference,
+        # so the min estimates the uninterfered runtime (timeit's own
+        # recommendation); the median across interleaved rounds is still
+        # the cross-round statistic (no post-hoc pairing of best samples
+        # across rounds — each ratio uses one round's own back-to-back
+        # processes).
+        eff_pairs_min = [
+            round((s4 / s16) / 4.0, 3)
+            for s4, s16 in zip(mins[4], mins[16])
+        ]
+        # ceiling per round: per-worker weak-scaling of the pure-CPU
+        # kernel bracketing the Spark runs in the same process windows
+        # (1.0 = the host scaled mp.Pool perfectly 4 -> 16); normalized =
+        # raw / ceiling, capped at 1
+        ceil_pairs = [
+            round(c4 / c16, 3) if c16 else 0.0
+            for c4, c16 in zip(calib[4], calib[16])
+        ]
+        norm_pairs = [
+            round(min(e / c, 1.0), 3) if c else 0.0
+            for e, c in zip(eff_pairs_min, ceil_pairs)
+        ]
         result["scaling"] = scale
         result["scaling_efficiency_4_to_16_median"] = round(eff_med, 3)
         result["scaling_efficiency_4_to_16_min"] = round(eff_min, 3)
         result["scaling_efficiency_per_round"] = eff_pairs
         result["scaling_efficiency_paired_median"] = round(
             _median(eff_pairs), 3
+        )
+        result["scaling_sec_min_per_process"] = {
+            "local[4]": mins[4], "local[16]": mins[16]
+        }
+        result["scaling_efficiency_minstat_per_round"] = eff_pairs_min
+        result["scaling_efficiency_minstat_median"] = round(
+            _median(eff_pairs_min), 3
+        )
+        result["scaling_calib_sec_per_round"] = {
+            "local[4]": calib[4], "local[16]": calib[16]
+        }
+        result["scaling_host_ceiling_per_round"] = ceil_pairs
+        result["scaling_host_ceiling_median"] = round(
+            _median(ceil_pairs), 3
+        )
+        result["scaling_efficiency_normalized_per_round"] = norm_pairs
+        result["scaling_efficiency_normalized_median"] = round(
+            _median(norm_pairs), 3
         )
         result["scaling_input_replication"] = repl
 

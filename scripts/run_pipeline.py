@@ -41,10 +41,11 @@ def main(argv: list[str]) -> int:
         "--dict-strategy",
         choices=["auto", "jvm", "broadcast", "join"],
         default="auto",
-        help="'auto' compiles small dictionaries into the plan (jvm) and"
-             " falls back to the broadcast pandas kernel; 'join' keeps the"
-             " dictionaries distributed (use when the alias table is too"
-             " large to broadcast to executors)",
+        help="'auto' = the fused broadcast pandas kernel; 'jvm' compiles"
+             " small dictionaries into the plan (zero Python workers;"
+             " measured per-core comparable, never faster); 'join' keeps"
+             " the dictionaries distributed (use when the alias table is"
+             " too large to broadcast to executors)",
     )
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)

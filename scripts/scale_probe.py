@@ -77,14 +77,25 @@ def main() -> None:
             # bound at high core counts (measured ~20% at local[16],
             # neutral at local[4])
             "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+            # this VM's page-fault path is pathologically slow (cold
+            # first-touch 0.2 GB/s vs 9-16 GB/s warm): pre-touch the heap
+            # once at startup and use the throughput collector — measured
+            # ~20% off JVM CPU at 16-wide, neutral at 4-wide
+            "spark.driver.extraJavaOptions":
+                "-XX:+UseParallelGC -XX:+AlwaysPreTouch",
         },
     )
     s.sparkContext.setLogLevel("ERROR")
 
-    if job == "pipeline":
+    if job in ("pipeline", "broadcast", "jvm", "joinpath"):
+        # job name doubles as dict_strategy: "pipeline" = the production
+        # default ("auto"); the explicit names pin one tier for A/B probes.
         from xwikire_spark import datagen
         from xwikire_spark.pipeline.extraction import extract_triples
 
+        strategy = "auto" if job == "pipeline" else (
+            "join" if job == "joinpath" else job
+        )
         rows, _ = datagen.generate_transcripts(n_convs=400, turns_per_conv=12)
         t = s.createDataFrame(pd.DataFrame(rows))
         # 4 tasks per core: stragglers amortize (one slow task idles a core
@@ -103,29 +114,8 @@ def main() -> None:
         def run():
             # no input repartition: mapInPandas consumes range partitions
             # directly; the only shuffle is the first-evidence aggregate.
-            return extract_triples(big, al, pr).count()
-
-        n_units = repl * 4800
-    elif job == "joinpath":
-        from xwikire_spark import datagen
-        from xwikire_spark.pipeline.extraction import extract_triples
-
-        rows, _ = datagen.generate_transcripts(n_convs=400, turns_per_conv=12)
-        t = s.createDataFrame(pd.DataFrame(rows))
-        big = (
-            s.range(0, repl, 1, numPartitions=cores * 4)
-            .crossJoin(F.broadcast(t))
-            .select(
-                F.concat_ws("-", "conv_id", "id").alias("conv_id"),
-                "turn_idx", "role", "text", "tool", "ts",
-            )
-        )
-        al = s.createDataFrame(pd.DataFrame(datagen.alias_rows()))
-        pr = s.createDataFrame(pd.DataFrame(datagen.predicate_rows()))
-
-        def run():
             return extract_triples(
-                big, al, pr, dict_strategy="join"
+                big, al, pr, dict_strategy=strategy
             ).count()
 
         n_units = repl * 4800
@@ -148,10 +138,33 @@ def main() -> None:
 
         n_units = None
 
+    def _calibrate() -> float:
+        """Pure-CPU mp.Pool ceiling probe (same extraction kernel, same
+        pinned cores, zero Spark) run as a subprocess INSIDE this
+        measurement window — bracketing the timed runs samples the same
+        host interference the Spark runs saw, which a detached 10 s
+        calibration minutes away does not (observed ceiling swings of
+        0.4-1.6 from window mismatch)."""
+        import subprocess
+
+        turns = os.environ.get("SPARK_GRAFT_CALIB_TURNS", "600000")
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "kernel_calibrate.py"),
+             str(cores), turns],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip().splitlines()[-1]
+        return json.loads(out)["sec"]
+
     run()  # warm-up: codegen + python workers
-    # median of 3 warm runs inside ONE process (fresh processes per LEVEL
-    # stay mandatory — stacked sessions degrade — but within a session
-    # repeated actions are stable and the median absorbs host noise)
+    calib_pre = _calibrate()
+    # 3 warm runs inside ONE process (fresh processes per LEVEL stay
+    # mandatory — stacked sessions degrade). Both the median and the MIN
+    # are reported: host interference is strictly one-sided (co-tenants
+    # only ever slow a run down), so the min is the standard estimator of
+    # the uninterfered runtime (cf. timeit docs); the median tracks what
+    # the shared box actually delivered.
     samples = []
     cpus = []
     n = 0
@@ -169,11 +182,16 @@ def main() -> None:
                 (sum(c1.values()) - sum(c0.values())) / (dt_i * cores), 3
             ),
         })
+    calib_post = _calibrate()
     dt = sorted(samples)[1]
     print(json.dumps({
         "job": job, "cores": cores, "repl": repl, "sec": round(dt, 3),
+        "sec_min": round(min(samples), 3),
         "samples_sec": [round(x, 3) for x in samples],
         "run_cpu": cpus,
+        "calib_sec": round((calib_pre + calib_post) / 2, 3),
+        "calib_pre": round(calib_pre, 3),
+        "calib_post": round(calib_post, 3),
         "n_triples": n, "tps": round(n / dt, 1), "turns": n_units,
     }))
     s.stop()

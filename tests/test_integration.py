@@ -142,3 +142,61 @@ def test_run_pipeline_subprocess_join_strategy_with_resume(spark, tmp_path):
     # kept their original wall_ms rows (count per bucket stays 1)
     mani2 = spark.read.parquet(f"{root}/resume/_manifests").toPandas()
     assert sorted(mani2["bucket"]) == done_buckets
+
+
+def test_spark_submit_py_files_zip(spark, tmp_path):
+    """Cluster-deployment fidelity (north rule: "run via spark-submit
+    --py-files"): package xwikire_spark into a zip, spark-submit the
+    pipeline entry with --py-files from a cwd where the repo is NOT
+    importable and with PYTHONPATH stripped — driver and executors must
+    import the package from the shipped zip alone."""
+    import os
+    import shutil
+    import subprocess
+    import zipfile
+
+    import pandas as pd
+
+    from xwikire_spark import datagen
+
+    submit = shutil.which("spark-submit")
+    if not submit:
+        import pytest as _pytest
+
+        _pytest.skip("spark-submit not on PATH")
+
+    repo = __import__("pathlib").Path(__file__).parent.parent
+    zpath = str(tmp_path / "xwikire_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(repo / "xwikire_spark"):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, repo))
+
+    root = str(tmp_path)
+    rows, _ = datagen.generate_transcripts(n_convs=30, turns_per_conv=6)
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(f"{root}/tr")
+    spark.createDataFrame(
+        pd.DataFrame(datagen.alias_rows())
+    ).write.parquet(f"{root}/al")
+    spark.createDataFrame(
+        pd.DataFrame(datagen.predicate_rows())
+    ).write.parquet(f"{root}/pr")
+
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_HOME")
+    }
+    r = subprocess.run(
+        [submit, "--master", "local[4]", "--py-files", zpath,
+         str(repo / "scripts" / "run_pipeline.py"),
+         "--transcripts", f"{root}/tr", "--alias-dict", f"{root}/al",
+         "--predicate-dict", f"{root}/pr", "--out", f"{root}/out",
+         "--n-buckets", "4", "--no-canonicalize", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, cwd=root, env=env,
+    )
+    assert r.returncode == 0, (r.stderr or "")[-3000:]
+    got = spark.read.parquet(f"{root}/out/triples")
+    assert got.count() > 0
+    assert {"subj", "pred", "obj"} <= set(got.columns)

@@ -508,11 +508,17 @@ class TestImageCodec:
         )
 
     def test_unsupported_format_raises(self):
+        import struct
+
         import pytest as _pytest
 
         from xwikire_spark.kernels.imagecodec import decode_image
 
         with _pytest.raises(NotImplementedError):
+            decode_image(b"GIF89a not supported")
+        # truncated jpeg is recognized and fails PARSING (not the
+        # NotImplementedError stub path)
+        with _pytest.raises((ValueError, IndexError, struct.error)):
             decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
 
     def test_channel_stats_shape(self):
@@ -571,3 +577,96 @@ class TestMosesTokenizer:
         assert get_tokenizer("moses")("a 1.5 b")[0] == ["a", "1.5", "b"]
         with _pytest.raises(ValueError):
             get_tokenizer("spacy")
+
+
+class TestJpegCodec:
+    """Baseline JPEG (kernels/jpegcodec.py): T.81 sequential Huffman
+    decode + Annex-K encoder. Lossy — tests bound error, and the decoder
+    must honor the tables/markers IN the file (DQT/DHT/DRI/RSTn)."""
+
+    @staticmethod
+    def _gradient(w, h):
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                px.extend([min(255, x * 7), min(255, y * 9), 128])
+        return px
+
+    def test_dct_inverse_property(self):
+        import numpy as np
+
+        from xwikire_spark.kernels.jpegcodec import fdct2, idct2
+
+        rng = np.random.RandomState(7)
+        b = rng.rand(8, 8) * 255
+        assert np.allclose(idct2(fdct2(b - 128)) + 128, b, atol=1e-9)
+
+    def test_gray_flat_round_trip(self):
+        from xwikire_spark.kernels.jpegcodec import decode_jpeg, encode_jpeg
+
+        blob = encode_jpeg(20, 14, 1, bytes([77]) * 280)
+        w, h, c, px = decode_jpeg(blob)
+        assert (w, h, c) == (20, 14, 1)
+        assert max(abs(v - 77) for v in px) <= 2
+
+    def test_rgb_444_round_trip(self):
+        from xwikire_spark.kernels.jpegcodec import decode_jpeg, encode_jpeg
+
+        src = self._gradient(33, 24)  # non-multiple-of-8 dims
+        w, h, c, px = decode_jpeg(encode_jpeg(33, 24, 3, bytes(src)))
+        assert (w, h, c) == (33, 24, 3)
+        assert max(abs(a - b) for a, b in zip(px, src)) <= 12
+
+    def test_rgb_420_subsampled_round_trip(self):
+        from xwikire_spark.kernels.jpegcodec import decode_jpeg, encode_jpeg
+
+        src = self._gradient(33, 24)
+        blob = encode_jpeg(33, 24, 3, bytes(src), subsample=True)
+        w, h, c, px = decode_jpeg(blob)
+        assert (w, h, c) == (33, 24, 3)
+        mean_err = sum(abs(a - b) for a, b in zip(px, src)) / len(px)
+        assert mean_err <= 6
+        # 4:2:0 must compress better than 4:4:4 on the same input
+        assert len(blob) < len(encode_jpeg(33, 24, 3, bytes(src)))
+
+    def test_restart_markers(self):
+        from xwikire_spark.kernels.jpegcodec import decode_jpeg, encode_jpeg
+
+        src = self._gradient(33, 24)
+        for sub, ri in ((False, 2), (True, 3)):
+            blob = encode_jpeg(
+                33, 24, 3, bytes(src), subsample=sub, restart_interval=ri
+            )
+            assert b"\xff\xdd" in blob  # DRI present
+            w, h, c, px = decode_jpeg(blob)
+            assert (w, h, c) == (33, 24, 3)
+            assert max(abs(a - b) for a, b in zip(px, src)) <= 20
+
+    def test_progressive_raises(self):
+        import struct
+
+        import pytest as _pytest
+
+        from xwikire_spark.kernels.jpegcodec import decode_jpeg
+
+        sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        blob = (b"\xff\xd8"
+                + struct.pack(">BBH", 0xFF, 0xC2, len(sof2) + 2) + sof2)
+        with _pytest.raises(NotImplementedError):
+            decode_jpeg(blob)
+
+    def test_imagecodec_dispatch(self):
+        from xwikire_spark.kernels.imagecodec import (
+            decode_image,
+            encode_image,
+            sniff_format,
+        )
+        from xwikire_spark.kernels.jpegcodec import encode_jpeg
+
+        src = self._gradient(16, 8)
+        blob = encode_jpeg(16, 8, 3, bytes(src))
+        assert sniff_format(blob) == "jpeg"
+        assert decode_image(blob)[:3] == (16, 8, 3)
+        # family-preserving re-encode
+        re = encode_image("jpeg", 16, 8, 3, decode_image(blob)[3])
+        assert sniff_format(re) == "jpeg"

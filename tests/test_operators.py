@@ -499,6 +499,7 @@ class TestMultimodalRealDecode:
 
     def _media_df(self, spark):
         from xwikire_spark.kernels.imagecodec import encode_png, encode_ppm
+        from xwikire_spark.kernels.jpegcodec import encode_jpeg
 
         px = bytearray()
         for y in range(4):
@@ -508,6 +509,8 @@ class TestMultimodalRealDecode:
             ("png1", "image", bytes(encode_png(6, 4, 3, px)), "image/png",
              6, 4, None),
             ("ppm1", "image", bytes(encode_ppm(6, 4, px)), "image/x-ppm",
+             6, 4, None),
+            ("jpg1", "image", encode_jpeg(6, 4, 3, bytes(px)), "image/jpeg",
              6, 4, None),
             ("aud1", "audio", b"\x00\x01\x02", "audio/wav", None, None, 900),
         ]
@@ -523,10 +526,14 @@ class TestMultimodalRealDecode:
         media = self._media_df(spark).where("kind = 'image'")
         got = {r["media_id"]: r for r in
                extract_media_features(media, fake=False).collect()}
-        # both encodings of the SAME pixels give the same pixel features
+        # both lossless encodings of the SAME pixels: identical features
         assert got["png1"]["feat"][:3] == [6.0, 4.0, 3.0]
         assert got["png1"]["feat"] == got["ppm1"]["feat"]
         assert got["png1"]["sha1"] != got["ppm1"]["sha1"]  # bytes differ
+        # jpeg is lossy: same shape, channel means within quant error
+        assert got["jpg1"]["feat"][:3] == [6.0, 4.0, 3.0]
+        for a, b in zip(got["jpg1"]["feat"][3:6], got["png1"]["feat"][3:6]):
+            assert abs(a - b) <= 8.0
 
     def test_real_resize_round_trips(self, spark):
         from xwikire_spark.kernels.imagecodec import decode_image
@@ -538,8 +545,165 @@ class TestMultimodalRealDecode:
         w, h, ch, px = decode_image(bytes(out["png1"]["payload"]))
         assert (w, h, ch) == (3, 2, 3)
         assert (out["png1"]["width"], out["png1"]["height"]) == (3, 2)
-        # ppm stays ppm
+        # family-preserving re-encode: ppm stays ppm, jpeg stays jpeg
         assert bytes(out["ppm1"]["payload"]).startswith(b"P6")
+        jb = bytes(out["jpg1"]["payload"])
+        assert jb.startswith(b"\xff\xd8\xff")
+        assert decode_image(jb)[:3] == (3, 2, 3)
         # non-image rows pass through untouched
         assert bytes(out["aud1"]["payload"]) == b"\x00\x01\x02"
         assert out["aud1"]["duration_ms"] == 900
+
+
+class TestScrubPII:
+    """URL/email scrubbing (textstats.scrub_pii) — the pre-training
+    hygiene pass. Counts + redaction, URL-first ordering, and
+    cross-engine pattern parity (the same ASCII-literal patterns must
+    behave identically under DuckDB regexps, since every oracle shares
+    them)."""
+
+    ROWS = [
+        (1, "see https://ex.com/a?u=bob@ex.com and mail bob@ex.com now"),
+        (2, "plain text with no contacts at all"),
+        (3, "two urls http://a.io/x https://b.io/y one mail a.b+c@sub.ex.org"),
+        (4, "not-an-email @handle and half-url http:// nope"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id int, text string")
+
+    def test_counts_and_redaction(self, spark):
+        from xwikire_spark.operators.textstats import scrub_pii
+
+        got = {r["doc_id"]: r for r in scrub_pii(self._df(spark)).collect()}
+        # URL swallows the address in its query string: 1 url, 1 email
+        assert (got[1]["n_urls"], got[1]["n_emails"]) == (1, 1)
+        assert got[1]["text"] == "see <URL> and mail <EMAIL> now"
+        assert (got[2]["n_urls"], got[2]["n_emails"]) == (0, 0)
+        assert got[2]["text"] == self.ROWS[1][1]
+        assert (got[3]["n_urls"], got[3]["n_emails"]) == (2, 1)
+        assert got[3]["text"] == "two urls <URL> <URL> one mail <EMAIL>"
+        # @handle has no domain dot; "http://" alone never matches
+        assert (got[4]["n_urls"], got[4]["n_emails"]) == (0, 0)
+
+    def test_plan_is_single_projection(self, spark):
+        from xwikire_spark.operators.textstats import scrub_pii
+
+        plan = (
+            scrub_pii(self._df(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # pure JVM expressions
+
+    def test_duckdb_pattern_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from xwikire_spark.operators.textstats import (
+            EMAIL_PATTERN,
+            URL_PATTERN,
+            scrub_pii,
+        )
+
+        sdf = (
+            scrub_pii(self._df(spark))
+            .orderBy("doc_id")
+            .toPandas()[["doc_id", "n_urls", "n_emails", "text"]]
+        )
+        con = duckdb.connect()
+        con.register(
+            "docs", pd.DataFrame(self.ROWS, columns=["doc_id", "text"])
+        )
+        odf = con.execute(f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{URL_PATTERN}'))
+                        AS INT) AS n_urls,
+                   CAST(len(regexp_extract_all(regexp_replace(text,
+                        '{URL_PATTERN}', '<URL>', 'g'), '{EMAIL_PATTERN}'))
+                        AS INT) AS n_emails,
+                   regexp_replace(regexp_replace(text, '{URL_PATTERN}',
+                        '<URL>', 'g'), '{EMAIL_PATTERN}', '<EMAIL>', 'g')
+                       AS text
+            FROM docs ORDER BY doc_id
+        """).df()
+        pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
+
+
+class TestBenchmarkContamination:
+    """Train/test contamination screening (dedup.benchmark_contamination):
+    planted 8-gram overlap, DuckDB differential, and the corpus side must
+    broadcast-join (no corpus shuffle before the aggregate)."""
+
+    DOCS = [
+        (1, "the quick brown fox jumps over the lazy dog every single day"),
+        (2, "completely unrelated text about spark query planning at scale"),
+        (3, "prefix words then the quick brown fox jumps over the lazy dog"),
+        (4, "short doc"),
+    ]
+    PROBES = [
+        (100, "benchmark says the quick brown fox jumps over the lazy dog"),
+    ]
+
+    def _frames(self, spark):
+        docs = spark.createDataFrame(self.DOCS, "doc_id int, text string")
+        probes = spark.createDataFrame(
+            self.PROBES, "probe_id int, text string"
+        )
+        return docs, probes
+
+    def test_planted_overlap(self, spark):
+        from xwikire_spark.operators.dedup import benchmark_contamination
+
+        docs, probes = self._frames(spark)
+        got = {r["doc_id"]: r for r in
+               benchmark_contamination(docs, probes, k=8).collect()}
+        # docs 1 and 3 share the 8-gram "the quick ... lazy dog"; 2/4 clean
+        assert set(got) == {1, 3}
+        assert got[1]["n_contaminated_shingles"] >= 1
+        assert "quick brown fox" in got[1]["example_shingle"]
+
+    def test_duckdb_differential(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from xwikire_spark.operators.dedup import benchmark_contamination
+
+        docs, probes = self._frames(spark)
+        sdf = (
+            benchmark_contamination(docs, probes, k=8)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.register("docs", pd.DataFrame(self.DOCS,
+                                          columns=["doc_id", "text"]))
+        con.register("probes", pd.DataFrame(
+            self.PROBES, columns=["probe_id", "text"]))
+        odf = con.execute("""
+            WITH ds AS (
+              SELECT doc_id, unnest([list_aggregate(words[i:i+7], 'string_agg', ' ')
+                     for i in generate_series(1, len(words) - 7)]) AS shingle
+              FROM (SELECT doc_id, string_split(text, ' ') AS words FROM docs)
+            ), ps AS (
+              SELECT DISTINCT unnest([list_aggregate(words[i:i+7], 'string_agg', ' ')
+                     for i in generate_series(1, len(words) - 7)]) AS shingle
+              FROM (SELECT string_split(text, ' ') AS words FROM probes)
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_contaminated_shingles,
+                   min(shingle) AS example_shingle
+            FROM ds JOIN ps USING (shingle)
+            GROUP BY doc_id ORDER BY doc_id
+        """).df()
+        pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
+
+    def test_probe_side_broadcasts(self, spark):
+        from xwikire_spark.operators.dedup import benchmark_contamination
+
+        docs, probes = self._frames(spark)
+        plan = (
+            benchmark_contamination(docs, probes)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan

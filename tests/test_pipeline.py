@@ -147,15 +147,17 @@ class TestExtraction:
         assert plain and all(flags[t] for t in plain)
 
     def test_jvm_strategy_plan_shape(self, spark, corpus):
-        """Plan assertions for the default strategy: (a) exactly ONE Python
-        eval chain — the exotic-text fallback — everything else whole-stage
-        JVM; (b) each dictionary regex appears exactly once per plan (the
-        Generate barrier prevents Catalyst from re-inlining
+        """Plan assertions for the explicit jvm strategy: (a) exactly ONE
+        Python eval chain — the exotic-text fallback — everything else
+        whole-stage JVM; (b) each dictionary regex appears exactly once
+        per plan (the Generate barrier prevents Catalyst from re-inlining
         regexp_extract_all per downstream reference — the round-1/2
         re-inlining trap)."""
         _, _, transcripts, alias_df, pred_df = corpus
         plan = (
-            extract_triples(transcripts, alias_df, pred_df)
+            extract_triples(
+                transcripts, alias_df, pred_df, dict_strategy="jvm"
+            )
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
@@ -395,24 +397,35 @@ class TestMentionPathEquivalence:
         )
         assert len(regex_path) > 100  # the corpus actually exercises it
 
-    def test_auto_strategy_falls_back_above_surface_cap(self, spark, corpus):
-        """auto = jvm under the surface cap, broadcast kernel above it:
-        with a padded >cap alias dictionary the plan must contain NO
-        regexp_extract_all (no literal dictionary in the plan) and exactly
-        one Python chain (the fused kernel)."""
+    def test_auto_strategy_is_single_kernel_pass(self, spark, corpus):
+        """auto = the fused broadcast kernel (measured: the in-plan jvm
+        tier is per-core comparable but never faster and double-scans the
+        source): the plan must contain NO regexp_extract_all (no literal
+        dictionary in the plan) and exactly one Python chain — and an
+        explicit jvm request above the surface cap must degrade to the
+        same single-kernel plan instead of compiling a giant regex."""
         _, _, transcripts, alias_df, pred_df = corpus
         pad = spark.range(1500).select(
             F.concat(F.lit("zqx"), F.col("id")).alias("alias"),
             F.concat(F.lit("QP"), F.col("id")).alias("entity_id"),
         )
         big = alias_df.select("alias", "entity_id").unionByName(pad)
-        df = extract_triples(transcripts, big, pred_df)  # auto
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "regexp_extract_all" not in plan
-        assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
+        for df in (
+            extract_triples(transcripts, big, pred_df),  # auto
+            extract_triples(
+                transcripts, big, pred_df, dict_strategy="jvm"
+            ),  # above-cap jvm degrades
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "regexp_extract_all" not in plan
+            assert (
+                plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
+            )
         # and values still match the small-dictionary run (padding never hits)
         small = {tuple(r) for r in extract_triples(
             transcripts, alias_df, pred_df, dict_strategy="broadcast"
         ).select(*TRIPLE_KEY).collect()}
-        got = {tuple(r) for r in df.select(*TRIPLE_KEY).collect()}
+        got = {tuple(r) for r in extract_triples(
+            transcripts, big, pred_df
+        ).select(*TRIPLE_KEY).collect()}
         assert got == small

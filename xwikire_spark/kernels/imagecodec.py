@@ -1,11 +1,13 @@
-"""Pure-stdlib image codec: PNG (zlib DEFLATE, filters 0-4) and binary PPM.
+"""Dependency-free image codecs: PNG (zlib DEFLATE, filters 0-4), binary
+PPM, and baseline JPEG (via ``kernels/jpegcodec.py`` — stdlib parsing +
+numpy DCT).
 
-Closes the round-2 "image decode honestly stubbed" gap for the formats the
-standard library can actually handle: no PIL/libvips exists in this
-container, but PNG is just zlib + per-scanline filters and PPM is a header
-+ raw bytes. operators/multimodal.py uses this as its REAL decode path;
-JPEG & friends still raise NotImplementedError there (swap in libvips in
-production; the Spark-side plumbing is format-agnostic).
+Closes the round-2 "image decode honestly stubbed" gap for the formats
+decodable without PIL/libvips: PNG is zlib + per-scanline filters, PPM a
+header + raw bytes, and baseline JPEG is implemented outright in
+jpegcodec. operators/multimodal.py uses this as its REAL decode path;
+remaining codecs (GIF/WebP/video) still raise NotImplementedError (swap in
+libvips in production; the Spark-side plumbing is format-agnostic).
 
 Scope (deliberately small, fully tested): 8-bit depth; PNG color types
 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); no interlace, no palette.
@@ -24,11 +26,13 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'png' | 'ppm' | None for anything else."""
+    """'png' | 'ppm' | 'jpeg' | None for anything else."""
     if payload.startswith(_PNG_SIG):
         return "png"
     if payload.startswith(b"P6"):
         return "ppm"
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
     return None
 
 
@@ -187,10 +191,33 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
         return decode_png(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "jpeg":
+        from xwikire_spark.kernels.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG/PPM decode in-container (stdlib zlib); other codecs need "
-        "PIL/libvips in production"
+        "only PNG/PPM/baseline-JPEG decode in-container; other codecs "
+        "(GIF/WebP/video frames) need PIL/libvips in production"
     )
+
+
+def encode_image(
+    fmt: str | None,
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes | bytearray,
+) -> bytes:
+    """Family-preserving re-encode: ppm stays ppm, jpeg stays jpeg
+    (baseline 4:4:4), everything else becomes PNG (lossless container for
+    any channel count)."""
+    if fmt == "ppm" and channels == 3:
+        return encode_ppm(width, height, pixels)
+    if fmt == "jpeg" and channels in (1, 3):
+        from xwikire_spark.kernels.jpegcodec import encode_jpeg
+
+        return encode_jpeg(width, height, channels, pixels)
+    return encode_png(width, height, channels, pixels)
 
 
 def resize_nearest(

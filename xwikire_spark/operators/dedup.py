@@ -409,3 +409,43 @@ def ngram_jaccard_pairs_within_groups(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Train/test contamination screening: flag corpus documents sharing
+    any k-word shingle with a benchmark/probe set.
+
+    -> (doc_id, n_contaminated_shingles, example_shingle), hit docs only.
+
+    Shape at 100 TB: the corpus side explodes to (doc_id, shingle) rows —
+    linear in tokens, never pairwise — and meets the DISTINCT probe
+    shingles in an equi-join. Benchmark suites are small (10^4-10^6
+    shingles), so the probe side broadcasts by default and the corpus
+    never shuffles; set ``broadcast_probes=False`` for probe sets beyond
+    executor memory (plain shuffle join, AQE handles hot shingles). k=8
+    follows the common contamination heuristic: long enough that chance
+    collisions vanish, short enough to catch paraphrase-free copying.
+    """
+    doc_sh = docs.select(
+        "doc_id", F.explode(_shingles(text_col, k)).alias("shingle")
+    )
+    probe_sh = probes.select(
+        F.explode(_shingles(probe_text_col, k)).alias("shingle")
+    ).distinct()
+    if broadcast_probes:
+        probe_sh = F.broadcast(probe_sh)
+    return (
+        doc_sh.join(probe_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated_shingles"),
+            F.min("shingle").alias("example_shingle"),
+        )
+    )

@@ -1,10 +1,11 @@
 """Multimodal column handling: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-Decode status (round 3): PNG and binary-PPM decode/resize/re-encode are
-REAL — pure-stdlib zlib codec in ``kernels/imagecodec.py`` — so
-``fake=False`` works end-to-end for those formats. Other codecs (JPEG,
-audio, video frames) still raise NotImplementedError without PIL/libvips;
+Decode status (round 3): PNG, binary-PPM and baseline JPEG
+decode/resize/re-encode are REAL — dependency-free codecs in
+``kernels/imagecodec.py`` / ``kernels/jpegcodec.py`` — so ``fake=False``
+works end-to-end for those formats. Remaining codecs (GIF/WebP, audio,
+video frames) still raise NotImplementedError without PIL/libvips;
 ``fake=True`` keeps the deterministic byte-stat path for them. The
 Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
 is identical across all three paths.
@@ -46,7 +47,7 @@ def _decode_image_bytes(payload: bytes, fake: bool):
             float(n % 17),
             float(n % 29),
         ]
-    # REAL decode for PNG/PPM (pure stdlib, kernels/imagecodec.py); other
+    # REAL decode for PNG/PPM/baseline-JPEG (kernels/imagecodec.py); other
     # codecs raise NotImplementedError there until PIL/libvips exists
     from xwikire_spark.kernels.imagecodec import channel_stats, decode_image
 
@@ -129,8 +130,7 @@ def resize_images(
 
         from xwikire_spark.kernels.imagecodec import (
             decode_image,
-            encode_png,
-            encode_ppm,
+            encode_image,
             resize_nearest,
             sniff_format,
         )
@@ -149,15 +149,14 @@ def resize_images(
                     heights.append(None if pd.isna(h0) else int(h0))
                     continue
                 if not fake:
-                    # REAL path: stdlib PNG/PPM decode -> nearest-neighbor
-                    # resample -> re-encode in the same family; other
-                    # codecs raise NotImplementedError (decode_image)
+                    # REAL path: PNG/PPM/baseline-JPEG decode -> nearest-
+                    # neighbor resample -> family-preserving re-encode;
+                    # other codecs raise NotImplementedError (decode_image)
                     w1, h1, ch, px = decode_image(b)
                     rp = resize_nearest(w1, h1, ch, px, width, height)
-                    if sniff_format(b) == "ppm" and ch == 3:
-                        payloads.append(encode_ppm(width, height, rp))
-                    else:
-                        payloads.append(encode_png(width, height, ch, rp))
+                    payloads.append(
+                        encode_image(sniff_format(b), width, height, ch, rp)
+                    )
                 else:
                     seed = hashlib.sha1(
                         b + f"{width}x{height}".encode()

@@ -79,6 +79,65 @@ def fingerprint_col(text_col: str = "text", k: int = 3):
     ).alias("fingerprint")
 
 
+def repetition_col(text_col: str = "text", k: int = 3):
+    """Within-document repetition as a named Column: the duplicated
+    fraction of k-word shingles (Gopher-style duplicate-n-gram quality
+    signal; 0 = no shingle repeats, ->1 = the document loops). Pure JVM
+    expressions; docs shorter than k words score 0."""
+    from xwikire_spark.operators.dedup import _shingles
+
+    sh = _shingles(text_col, k)
+    return F.when(F.size(sh) == 0, F.lit(0.0)).otherwise(
+        F.round(1 - F.size(F.array_distinct(sh)) / F.size(sh), 6)
+    ).alias(f"rep{k}_ratio")
+
+
+# --- PII / URL scrubbing: the pre-training hygiene pass -------------------
+
+# ASCII-literal classes only (no \d/\w escapes) so the identical pattern
+# strings work in Spark's JVM regex, Spark SQL literals, and DuckDB.
+URL_PATTERN = "https?://[-A-Za-z0-9._~:/?#@!$&*+,;=%]+"
+# [.] instead of \. : Spark SQL string literals eat backslash escapes, so
+# the same pattern string must not rely on them
+EMAIL_PATTERN = (
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+([.][A-Za-z0-9-]+)*[.][A-Za-z][A-Za-z]+"
+)
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    url_token: str = "<URL>",
+    email_token: str = "<EMAIL>",
+) -> DataFrame:
+    """Redact URLs and email addresses and count what was removed — the
+    standard hygiene pass before a corpus becomes training data.
+
+    Adds to every row: ``n_urls``, ``n_emails`` (match counts on the raw
+    text) and replaces ``text_col`` with the redacted text (URLs first so
+    an address inside a URL query-string counts once, as part of the URL).
+    Pure JVM expressions — one projection, no shuffle, scales as a map.
+    Dedup note: run exact/minhash dedup AFTER scrubbing so documents
+    differing only in tracking URLs or contact lines collapse.
+    """
+    col = F.col(text_col)
+    return docs.select(
+        *[c for c in docs.columns if c != text_col],
+        F.size(F.expr(
+            f"regexp_extract_all({text_col}, '{URL_PATTERN}', 0)"
+        )).alias("n_urls"),
+        F.size(F.expr(
+            f"regexp_extract_all(regexp_replace({text_col}, "
+            f"'{URL_PATTERN}', '{url_token}'), '{EMAIL_PATTERN}', 0)"
+        )).alias("n_emails"),
+        F.regexp_replace(
+            F.regexp_replace(col, URL_PATTERN, url_token),
+            EMAIL_PATTERN,
+            email_token,
+        ).alias(text_col),
+    )
+
+
 def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """ALL per-document stats (token counts + quality + fingerprint) in ONE
     projection: one corpus scan, zero joins/shuffles — the plan a stats
@@ -89,6 +148,7 @@ def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         *token_count_cols(text_col),
         *quality_score_cols(text_col),
         fingerprint_col(text_col),
+        repetition_col(text_col),
     )
 
 

@@ -493,8 +493,12 @@ def extract_triples(
       (detect_mentions_join), candidates assemble relationally. Right for
       transcript-scale alias dictionaries (10^8+ surfaces) where a
       broadcast would OOM the executors.
-    - "auto" (default): "jvm" when both dictionaries fit the surface cap,
-      else "broadcast". ("join" stays explicit: only the caller knows the
+    - "auto" (default): "broadcast". Measured head-to-head (pinned, same
+      input, repl=1000): jvm 29.3 s vs broadcast 28.2 s at 4-wide, 10.8 vs
+      9.8 s at 16-wide — the in-plan tier is per-core comparable but never
+      faster, scales no better, and costs a second source scan, so it
+      stays an explicit opt-in for plans that must avoid Python workers
+      entirely. ("join" also stays explicit: only the caller knows the
       alias table is cluster-sized.)
 
     All four produce value-identical results
@@ -514,12 +518,24 @@ def extract_triples(
         len({s for s, _ in alias_pairs}), len({s for s, _ in pred_pairs})
     )
     if dict_strategy == "auto":
-        dict_strategy = (
-            "jvm"
-            if 0 < min(len(alias_pairs), len(pred_pairs))
-            and n_surfaces <= jvm_max_surfaces
-            else "broadcast"
+        dict_strategy = "broadcast"
+    if dict_strategy == "jvm" and not (
+        0 < min(len(alias_pairs), len(pred_pairs))
+        and n_surfaces <= jvm_max_surfaces
+    ):
+        # explicit jvm request outside its envelope (empty dictionary or
+        # above the plan-size cap) degrades to the fused kernel — LOUDLY,
+        # because callers pick jvm precisely to avoid Python workers
+        import warnings
+
+        warnings.warn(
+            f"dict_strategy='jvm' needs non-empty dictionaries with at "
+            f"most {jvm_max_surfaces} surfaces (got {n_surfaces}); "
+            f"falling back to the broadcast Python kernel",
+            RuntimeWarning,
+            stacklevel=2,
         )
+        dict_strategy = "broadcast"
 
     # SINGLE Python pass (fused mapInPandas): segmentation + both automatons
     # + candidate emission. Chained per-column UDFs cost 3 Arrow round-trips
