@@ -535,6 +535,25 @@ class TestMultimodalRealDecode:
         for a, b in zip(got["jpg1"]["feat"][3:6], got["png1"]["feat"][3:6]):
             assert abs(a - b) <= 8.0
 
+    def test_real_audio_features(self, spark):
+        import numpy as np
+
+        from xwikire_spark.kernels.wavcodec import encode_wav
+        from xwikire_spark.operators.multimodal import extract_media_features
+
+        t = np.arange(2000) / 8000.0
+        blob = encode_wav(8000, np.sin(2 * np.pi * 440 * t) * 0.5)
+        media = spark.createDataFrame(
+            [("wav1", "audio", blob, "audio/wav", None, None, 250)],
+            "media_id string, kind string, payload binary, mime string, "
+            "width int, height int, duration_ms int",
+        )
+        feat = extract_media_features(media, fake=False).collect()[0]["feat"]
+        # frames, duration, channels, rms(A/sqrt2), peak, zcr, rate
+        assert feat[0] == 2000.0 and feat[2] == 1.0 and feat[6] == 8000.0
+        assert abs(feat[1] - 0.25) < 1e-4
+        assert abs(feat[3] - 0.5 / 2 ** 0.5) < 0.01
+
     def test_real_resize_round_trips(self, spark):
         from xwikire_spark.kernels.imagecodec import decode_image
         from xwikire_spark.operators.multimodal import resize_images

@@ -2,10 +2,12 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 Decode status (round 3): PNG, binary-PPM and baseline JPEG
-decode/resize/re-encode are REAL — dependency-free codecs in
-``kernels/imagecodec.py`` / ``kernels/jpegcodec.py`` — so ``fake=False``
-works end-to-end for those formats. Remaining codecs (GIF/WebP, audio,
-video frames) still raise NotImplementedError without PIL/libvips;
+decode/resize/re-encode are REAL (dependency-free codecs in
+``kernels/imagecodec.py`` / ``kernels/jpegcodec.py``), and RIFF/WAVE PCM
+audio decode + feature extraction is REAL (``kernels/wavcodec.py``) — so
+``fake=False`` works end-to-end for those formats. Remaining codecs
+(GIF/WebP, compressed audio, video frames) still raise
+NotImplementedError without PIL/libvips/ffmpeg;
 ``fake=True`` keeps the deterministic byte-stat path for them. The
 Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
 is identical across all three paths.
@@ -47,10 +49,19 @@ def _decode_image_bytes(payload: bytes, fake: bool):
             float(n % 17),
             float(n % 29),
         ]
-    # REAL decode for PNG/PPM/baseline-JPEG (kernels/imagecodec.py); other
-    # codecs raise NotImplementedError there until PIL/libvips exists
+    # REAL decode: PNG/PPM/baseline-JPEG (kernels/imagecodec.py) and
+    # RIFF/WAVE PCM audio (kernels/wavcodec.py — same 8-float feature
+    # shape, so FEATURES_SCHEMA holds across modalities); other codecs
+    # raise NotImplementedError until PIL/libvips/libsndfile exists
     from xwikire_spark.kernels.imagecodec import channel_stats, decode_image
+    from xwikire_spark.kernels.wavcodec import (
+        audio_stats,
+        decode_wav,
+        sniff_wav,
+    )
 
+    if sniff_wav(payload):
+        return audio_stats(*decode_wav(payload))
     return channel_stats(*decode_image(payload))
 
 
