@@ -535,6 +535,33 @@ class TestMultimodalRealDecode:
         for a, b in zip(got["jpg1"]["feat"][3:6], got["png1"]["feat"][3:6]):
             assert abs(a - b) <= 8.0
 
+    def test_null_payload_quarantined_not_fatal(self, spark):
+        """F5 quarantine semantics on the REAL path: a null/empty payload
+        yields NULL features / passes through resize untouched instead of
+        aborting the corpus-wide job with a codec error."""
+        from xwikire_spark.operators.multimodal import (
+            extract_media_features,
+            resize_images,
+        )
+
+        media = self._media_df(spark).unionByName(
+            spark.createDataFrame(
+                [("null1", "image", None, "image/png", 6, 4, None)],
+                self._media_df(spark).schema,
+            )
+        )
+        feats = {r["media_id"]: r for r in
+                 extract_media_features(
+                     media.where("kind = 'image'"), fake=False
+                 ).collect()}
+        assert feats["null1"]["feat"] is None
+        assert feats["png1"]["feat"] is not None  # others still decode
+        out = {r["media_id"]: r for r in resize_images(
+            media, width=3, height=2, fake=False
+        ).collect()}
+        assert bytes(out["null1"]["payload"] or b"") == b""
+        assert (out["null1"]["width"], out["null1"]["height"]) == (6, 4)
+
     def test_real_audio_features(self, spark):
         import numpy as np
 
@@ -659,6 +686,10 @@ class TestBenchmarkContamination:
         (2, "completely unrelated text about spark query planning at scale"),
         (3, "prefix words then the quick brown fox jumps over the lazy dog"),
         (4, "short doc"),
+        # doc 5 LOOPS one contaminated 8-gram: must count it once, not 3x
+        (5, "the quick brown fox jumps over the lazy dog "
+            "the quick brown fox jumps over the lazy dog "
+            "the quick brown fox jumps over the lazy dog"),
     ]
     PROBES = [
         (100, "benchmark says the quick brown fox jumps over the lazy dog"),
@@ -677,10 +708,14 @@ class TestBenchmarkContamination:
         docs, probes = self._frames(spark)
         got = {r["doc_id"]: r for r in
                benchmark_contamination(docs, probes, k=8).collect()}
-        # docs 1 and 3 share the 8-gram "the quick ... lazy dog"; 2/4 clean
-        assert set(got) == {1, 3}
+        # docs 1/3/5 share the 8-gram "the quick ... lazy dog"; 2/4 clean
+        assert set(got) == {1, 3, 5}
         assert got[1]["n_contaminated_shingles"] >= 1
         assert "quick brown fox" in got[1]["example_shingle"]
+        # DISTINCT semantics: doc 5 loops the contaminated content — its
+        # count is the number of distinct shared shingles, bounded by the
+        # probe's own shingle count (4), not by its own repetitions (>=9)
+        assert got[5]["n_contaminated_shingles"] <= 4
 
     def test_duckdb_differential(self, spark):
         import duckdb
@@ -701,9 +736,11 @@ class TestBenchmarkContamination:
             self.PROBES, columns=["probe_id", "text"]))
         odf = con.execute("""
             WITH ds AS (
-              SELECT doc_id, unnest([list_aggregate(words[i:i+7], 'string_agg', ' ')
-                     for i in generate_series(1, len(words) - 7)]) AS shingle
-              FROM (SELECT doc_id, string_split(text, ' ') AS words FROM docs)
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, unnest([list_aggregate(words[i:i+7], 'string_agg', ' ')
+                       for i in generate_series(1, len(words) - 7)]) AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS words FROM docs)
+              )
             ), ps AS (
               SELECT DISTINCT unnest([list_aggregate(words[i:i+7], 'string_agg', ' ')
                      for i in generate_series(1, len(words) - 7)]) AS shingle

@@ -9,10 +9,11 @@ PNG, PPM and baseline JPEG end-to-end.
 
 Scope (deliberately bounded, fully tested):
 - decode: baseline sequential (SOF0/SOF1), 8-bit, grayscale or YCbCr with
-  any sampling factors (4:4:4 and 4:2:0 covered by tests), restart
-  markers honored (DRI), quant/Huffman tables read from the FILE (the
-  decoder never assumes the Annex-K constants). Progressive (SOF2),
-  arithmetic coding and 12-bit raise NotImplementedError.
+  integer-ratio sampling factors (4:4:4 and 4:2:0 covered by tests),
+  restart markers honored (DRI), quant/Huffman tables read from the FILE
+  (the decoder never assumes the Annex-K constants). Progressive (SOF2),
+  arithmetic coding, 12-bit and non-dyadic sampling raise
+  NotImplementedError.
 - encode (test-vector source + re-encode path): 4:4:4 or 4:2:0 YCbCr /
   grayscale, Annex-K quantization + Huffman tables, restart-free.
 
@@ -344,6 +345,11 @@ def _decode_scan(payload, pos, w, h, scan, qtabs, huffs, restart_interval):
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
     full = []
     for ci, (c, _, _) in enumerate(scan):
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"non-integer chroma subsampling ratio "
+                f"({c['h']}x{c['v']} vs {hmax}x{vmax})"
+            )
         p = planes[ci]
         p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
         full.append(p[:h, :w])

@@ -117,6 +117,12 @@ def _split(items: list[str], heldout: bool) -> list[str]:
 def _verb_forms(stem: str) -> dict[str, str]:
     if stem in _IRREGULAR:
         vbz, vbd, vbn, vbg = _IRREGULAR[stem]
+    elif stem.endswith("y") and stem[-2] not in "aeiou":
+        # consonant-y: carry -> carries/carried/carrying (same rule
+        # _plural applies to nouns)
+        vbz = stem[:-1] + "ies"
+        vbd = vbn = stem[:-1] + "ied"
+        vbg = stem + "ing"
     else:
         vbz = stem + ("es" if stem.endswith(("ch", "sh", "s", "x")) else "s")
         if stem.endswith("e"):

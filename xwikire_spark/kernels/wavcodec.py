@@ -70,6 +70,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         )
     if n_ch < 1:
         raise ValueError("WAV with zero channels")
+    if rate < 1:
+        raise ValueError("WAV with zero sample rate")
     frames = len(x) // n_ch
     return rate, n_ch, x[: frames * n_ch].reshape(frames, n_ch)
 

@@ -433,9 +433,13 @@ def benchmark_contamination(
     follows the common contamination heuristic: long enough that chance
     collisions vanish, short enough to catch paraphrase-free copying.
     """
+    # distinct on BOTH sides: n_contaminated_shingles counts distinct
+    # shared shingles, so a doc looping one contaminated 8-gram five
+    # times scores 1, not 5 (repetitive text must not outrank docs
+    # genuinely sharing more benchmark content)
     doc_sh = docs.select(
         "doc_id", F.explode(_shingles(text_col, k)).alias("shingle")
-    )
+    ).distinct()
     probe_sh = probes.select(
         F.explode(_shingles(probe_text_col, k)).alias("shingle")
     ).distinct()

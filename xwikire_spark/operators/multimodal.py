@@ -52,7 +52,11 @@ def _decode_image_bytes(payload: bytes, fake: bool):
     # REAL decode: PNG/PPM/baseline-JPEG (kernels/imagecodec.py) and
     # RIFF/WAVE PCM audio (kernels/wavcodec.py — same 8-float feature
     # shape, so FEATURES_SCHEMA holds across modalities); other codecs
-    # raise NotImplementedError until PIL/libvips/libsndfile exists
+    # raise NotImplementedError until PIL/libvips/libsndfile exists.
+    # Null/empty payloads yield NULL features (F5 quarantine semantics:
+    # one missing payload must not abort the corpus-wide job).
+    if not payload:
+        return None
     from xwikire_spark.kernels.imagecodec import channel_stats, decode_image
     from xwikire_spark.kernels.wavcodec import (
         audio_stats,
@@ -152,9 +156,10 @@ def resize_images(
                 pdf["payload"], pdf["kind"], pdf["width"], pdf["height"]
             ):
                 b = bytes(payload) if payload is not None else b""
-                if kind != "image":
-                    # non-image rows pass through with their ORIGINAL
-                    # metadata intact
+                if kind != "image" or not b:
+                    # non-image rows AND null/empty payloads pass through
+                    # with their ORIGINAL metadata intact (one missing
+                    # payload must not abort a corpus-wide resize job)
                     payloads.append(b)
                     widths.append(None if pd.isna(w0) else int(w0))
                     heights.append(None if pd.isna(h0) else int(h0))

@@ -317,7 +317,13 @@ def kmeans_centroids(
 
     cents = means(assigned)
     for _ in range(n_iters):
-        cents = means(_assign_to_centroids(v, cents))
+        # means() is eager (collect), so each iteration's large-model
+        # broadcast is consumed by the time it returns — release it
+        # instead of leaking n_iters centroid matrices per fit
+        sink: list = []
+        cents = means(_assign_to_centroids(v, cents, _bc_sink=sink))
+        for bc in sink:
+            bc.unpersist(blocking=False)
     return cents
 
 
@@ -329,7 +335,9 @@ _MAX_LITERAL_CENTROID_FLOATS = 4096
 
 
 def _assign_to_centroids(
-    v: DataFrame, cents: list[tuple[int, list[float]]]
+    v: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    _bc_sink: list | None = None,
 ) -> DataFrame:
     """Adds cid = argmax-cosine centroid (ties -> smallest cid).
 
@@ -338,7 +346,8 @@ def _assign_to_centroids(
     SQL. Larger models ship ONCE per executor as a SparkContext.broadcast
     numpy matrix scored inside an Arrow-batched pandas UDF: one matmul per
     batch, no plan bloat (production IVF sizes: 2^10+ centroids x 2^10
-    dims)."""
+    dims). Eager callers (the k-means loop) pass ``_bc_sink`` to collect
+    the broadcast handle and unpersist it once consumed."""
     if sum(len(ce) for _, ce in cents) <= _MAX_LITERAL_CENTROID_FLOATS:
         scored = F.array(
             *[
@@ -357,12 +366,20 @@ def _assign_to_centroids(
 
     cids = [cid for cid, _ in cents]
     mat = np.array([ce for _, ce in cents], dtype=np.float64)
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    bc = v.sparkSession.sparkContext.broadcast((cids, mat))
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    # zero-norm centroids (possible from an all-zero cluster mean) must
+    # never win the argmax — the literal path gives them cosine NaN,
+    # which Spark's struct ordering never selects as the min; mirror that
+    # by scoring them -inf below (zero_mask), not 0 via the norm floor
+    zero_cents = (norms[:, 0] == 0.0)
+    mat = mat / np.maximum(norms, 1e-12)
+    bc = v.sparkSession.sparkContext.broadcast((cids, mat, zero_cents))
+    if _bc_sink is not None:
+        _bc_sink.append(bc)
 
     @F.pandas_udf(IntegerType())
     def assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        b_cids, b_mat = bc.value
+        b_cids, b_mat, b_zero = bc.value
         b_cids = np.array(b_cids)
         order = np.argsort(b_cids)
         for vecs in batches:
@@ -376,7 +393,9 @@ def _assign_to_centroids(
             # argmax with smallest-cid tie-break, matching the literal
             # path's array_min over (neg_cos, cid) structs: columns sorted
             # by cid ascending, argmax takes the first maximum
-            sims = (x @ b_mat.T)[:, order]
+            sims = x @ b_mat.T
+            sims[:, b_zero] = -np.inf  # literal-path NaN parity
+            sims = sims[:, order]
             best = order[np.argmax(sims, axis=1)]
             yield pd.Series(b_cids[best].astype("int32"))
 
