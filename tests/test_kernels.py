@@ -515,7 +515,7 @@ class TestImageCodec:
         from xwikire_spark.kernels.imagecodec import decode_image
 
         with _pytest.raises(NotImplementedError):
-            decode_image(b"GIF89a not supported")
+            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 not supported")
         # truncated jpeg is recognized and fails PARSING (not the
         # NotImplementedError stub path)
         with _pytest.raises((ValueError, IndexError, struct.error)):
@@ -766,3 +766,87 @@ class TestWavCodec:
         assert abs(rms - 0.5 / 2 ** 0.5) < 0.01     # A/sqrt(2)
         assert abs(peak - 0.5) < 0.01
         assert abs(zcr - 2 * 440 / 8000) < 0.01     # 2f/rate crossings
+
+
+class TestGifCodec:
+    """GIF87a/89a decoder (kernels/gifcodec.py): full LZW with growing
+    code widths, interlace, background composition; minimal encoder as
+    the vector source."""
+
+    @staticmethod
+    def _quads(w, h):
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                px.extend([(x * 37) % 256 // 64 * 64,
+                           (y * 53) % 256 // 64 * 64, 128])
+        return px
+
+    def test_round_trip_plain_and_interlaced(self):
+        from xwikire_spark.kernels.gifcodec import decode_gif, encode_gif
+
+        px = self._quads(13, 9)
+        for il in (False, True):
+            w, h, c, got = decode_gif(encode_gif(13, 9, px, interlace=il))
+            assert (w, h, c) == (13, 9, 3)
+            assert bytes(got) == bytes(px)
+
+    def test_wide_codes_and_reclear(self):
+        """200 distinct colors force 8-bit LZW roots and repeated CLEAR
+        codes — exercises the table-growth path."""
+        import random
+
+        from xwikire_spark.kernels.gifcodec import decode_gif, encode_gif
+
+        rng = random.Random(5)
+        pal = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+               for _ in range(200)]
+        px = bytearray()
+        for _ in range(40 * 25):
+            px.extend(pal[rng.randrange(200)])
+        assert decode_gif(encode_gif(40, 25, px))[3] == px
+
+    def test_gif89a_with_extension_blocks(self):
+        """Graphic-control / comment extensions must be skipped, and a
+        GIF89a signature accepted."""
+        from xwikire_spark.kernels.gifcodec import decode_gif, encode_gif
+
+        px = self._quads(6, 4)
+        blob = bytearray(encode_gif(6, 4, px))
+        blob[:6] = b"GIF89a"
+        # splice a graphic control extension right before the image
+        # descriptor (0x2C)
+        at = bytes(blob).index(b"\x2c")
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        patched = bytes(blob[:at]) + gce + bytes(blob[at:])
+        assert decode_gif(patched)[3] == px
+
+    def test_too_many_colors_encode_raises(self):
+        import pytest as _pytest
+
+        from xwikire_spark.kernels.gifcodec import encode_gif
+
+        px = bytearray()
+        for i in range(300):
+            px.extend([i % 256, i // 256, 7])
+        with _pytest.raises(ValueError):
+            encode_gif(300, 1, px)
+
+    def test_imagecodec_dispatch_and_family_reencode(self):
+        from xwikire_spark.kernels.imagecodec import (
+            decode_image,
+            encode_image,
+            resize_nearest,
+            sniff_format,
+        )
+        from xwikire_spark.kernels.gifcodec import encode_gif
+
+        px = self._quads(8, 6)
+        blob = encode_gif(8, 6, px)
+        assert sniff_format(blob) == "gif"
+        w, h, c, got = decode_image(blob)
+        assert (w, h, c) == (8, 6, 3) and bytes(got) == bytes(px)
+        rp = resize_nearest(8, 6, 3, got, 4, 3)
+        re = encode_image("gif", 4, 3, 3, rp)
+        assert sniff_format(re) == "gif"  # palette subset stays GIF
+        assert decode_image(re)[:3] == (4, 3, 3)

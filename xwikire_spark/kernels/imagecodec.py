@@ -1,6 +1,6 @@
 """Dependency-free image codecs: PNG (zlib DEFLATE, filters 0-4), binary
-PPM, and baseline JPEG (via ``kernels/jpegcodec.py`` — stdlib parsing +
-numpy DCT).
+PPM, baseline JPEG (via ``kernels/jpegcodec.py`` — stdlib parsing + numpy
+DCT), and GIF87a/89a (via ``kernels/gifcodec.py`` — full LZW, interlace).
 
 Closes the round-2 "image decode honestly stubbed" gap for the formats
 decodable without PIL/libvips: PNG is zlib + per-scanline filters, PPM a
@@ -33,6 +33,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if payload.startswith(b"\xff\xd8\xff"):
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -195,9 +197,13 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
         from xwikire_spark.kernels.jpegcodec import decode_jpeg
 
         return decode_jpeg(payload)
+    if fmt == "gif":
+        from xwikire_spark.kernels.gifcodec import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "only PNG/PPM/baseline-JPEG decode in-container; other codecs "
-        "(GIF/WebP/video frames) need PIL/libvips in production"
+        "only PNG/PPM/baseline-JPEG/GIF decode in-container; other codecs "
+        "(WebP/video frames) need PIL/libvips in production"
     )
 
 
@@ -209,14 +215,23 @@ def encode_image(
     pixels: bytes | bytearray,
 ) -> bytes:
     """Family-preserving re-encode: ppm stays ppm, jpeg stays jpeg
-    (baseline 4:4:4), everything else becomes PNG (lossless container for
-    any channel count)."""
+    (baseline 4:4:4), gif stays gif (nearest-resized GIF pixels are a
+    palette subset, so <=256 colors is guaranteed; >256 falls back to
+    PNG), everything else becomes PNG (lossless container for any channel
+    count)."""
     if fmt == "ppm" and channels == 3:
         return encode_ppm(width, height, pixels)
     if fmt == "jpeg" and channels in (1, 3):
         from xwikire_spark.kernels.jpegcodec import encode_jpeg
 
         return encode_jpeg(width, height, channels, pixels)
+    if fmt == "gif" and channels == 3:
+        from xwikire_spark.kernels.gifcodec import encode_gif
+
+        try:
+            return encode_gif(width, height, pixels)
+        except ValueError:  # >256 distinct colors (non-GIF-origin pixels)
+            pass
     return encode_png(width, height, channels, pixels)
 
 
