@@ -655,6 +655,28 @@ class TestJpegCodec:
         with _pytest.raises(NotImplementedError):
             decode_jpeg(blob)
 
+    def test_multiscan_raises(self):
+        """A baseline non-interleaved multi-scan JPEG (first SOS lists 1
+        of 3 SOF components) must raise NotImplementedError instead of
+        silently mis-decoding as grayscale (ADVICE r3)."""
+        import struct
+
+        import pytest as _pytest
+
+        from xwikire_spark.kernels.jpegcodec import decode_jpeg
+
+        sof0 = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
+            [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+        sos = bytes([1, 1, 0x00, 0, 63, 0])  # 1 of 3 components
+        blob = (
+            b"\xff\xd8"
+            + struct.pack(">BBH", 0xFF, 0xC0, len(sof0) + 2) + sof0
+            + struct.pack(">BBH", 0xFF, 0xDA, len(sos) + 2) + sos
+        )
+        with _pytest.raises(NotImplementedError, match="multi-scan"):
+            decode_jpeg(blob)
+
     def test_imagecodec_dispatch(self):
         from xwikire_spark.kernels.imagecodec import (
             decode_image,
@@ -831,6 +853,39 @@ class TestGifCodec:
             px.extend([i % 256, i // 256, 7])
         with _pytest.raises(ValueError):
             encode_gif(300, 1, px)
+
+    def test_truncated_gif_raises_valueerror(self):
+        """Malformed-input contract (ADVICE r3): every truncation point —
+        mid-header, mid-sub-block, and an LZW stream that hits EOI before
+        w*h pixels — must surface as ValueError, never raw IndexError."""
+        import pytest as _pytest
+
+        from xwikire_spark.kernels.gifcodec import decode_gif, encode_gif
+
+        blob = encode_gif(13, 9, self._quads(13, 9))
+        # property over EVERY prefix: decode either succeeds (only cuts
+        # past the image data, e.g. the trailing 0x3B) or raises
+        # ValueError — never IndexError/struct.error
+        raised = 0
+        for cut in range(14, len(blob)):
+            try:
+                decode_gif(blob[:cut])
+            except ValueError:
+                raised += 1
+        assert raised >= len(blob) - 20  # nearly every prefix is malformed
+        # early EOI: 2x2 image whose LZW data is just CLEAR,EOI (2-bit
+        # min-code: clear=4, eoi=5, 3-bit codes -> byte 0b101_100 = 0x2C)
+        early = (
+            b"GIF87a"
+            + bytes([2, 0, 2, 0, 0x80 | 0, 0, 0])  # screen + 2-color GCT
+            + b"\x00\x00\x00\xff\xff\xff"
+            + b"\x2c" + bytes([0, 0, 0, 0, 2, 0, 2, 0, 0])  # descriptor
+            + bytes([2])  # LZW min code size
+            + bytes([1, 0x2C])  # one sub-block: CLEAR then EOI
+            + b"\x00\x3b"
+        )
+        with _pytest.raises(ValueError, match="LZW ended early"):
+            decode_gif(early)
 
     def test_imagecodec_dispatch_and_family_reencode(self):
         from xwikire_spark.kernels.imagecodec import (

@@ -562,6 +562,48 @@ class TestMultimodalRealDecode:
         assert bytes(out["null1"]["payload"] or b"") == b""
         assert (out["null1"]["width"], out["null1"]["height"]) == (6, 4)
 
+    def test_corrupt_and_unsupported_payloads_quarantined(self, spark):
+        """ADVICE r3: fake=False decode must quarantine ANY bad payload —
+        truncated GIF, random garbage, unsupported WebP — as NULL features
+        with an err tag, never abort the corpus job; healthy rows in the
+        same batch still decode with err NULL."""
+        from xwikire_spark.kernels.gifcodec import encode_gif
+        from xwikire_spark.operators.multimodal import (
+            extract_media_features,
+            resize_images,
+        )
+
+        px = bytearray([10, 20, 30] * 4)
+        good_gif = bytes(encode_gif(2, 2, px))
+        rows = [
+            ("ok", "image", good_gif, "image/gif", 2, 2, None),
+            ("trunc", "image", good_gif[: len(good_gif) // 2],
+             "image/gif", 2, 2, None),
+            ("garbage", "image", b"\x00\x01" * 40, "image/bin", 2, 2, None),
+            ("webp", "image", b"RIFF\x10\x00\x00\x00WEBPVP8 ",
+             "image/webp", 2, 2, None),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id string, kind string, payload binary, mime string, "
+            "width int, height int, duration_ms int",
+        )
+        feats = {r["media_id"]: r for r in
+                 extract_media_features(media, fake=False).collect()}
+        assert feats["ok"]["feat"] is not None and feats["ok"]["err"] is None
+        for bad in ("trunc", "garbage", "webp"):
+            assert feats[bad]["feat"] is None, bad
+            assert feats[bad]["err"], bad
+        assert feats["webp"]["err"].startswith("unsupported")
+        assert "ValueError" in feats["trunc"]["err"]
+        # resize: bad payloads pass through untouched with original metadata
+        out = {r["media_id"]: r for r in
+               resize_images(media, width=1, height=1, fake=False).collect()}
+        assert (out["ok"]["width"], out["ok"]["height"]) == (1, 1)
+        assert bytes(out["trunc"]["payload"]) == good_gif[: len(good_gif) // 2]
+        assert (out["trunc"]["width"], out["trunc"]["height"]) == (2, 2)
+        assert (out["webp"]["width"], out["webp"]["height"]) == (2, 2)
+
     def test_real_audio_features(self, spark):
         import numpy as np
 

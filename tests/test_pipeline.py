@@ -108,8 +108,9 @@ class TestExtraction:
         )
 
     def test_jvm_strategy_matches_broadcast(self, spark, corpus):
-        """The in-plan (Catalyst expression) strategy — now the default for
-        small dictionaries — must reproduce the fused-kernel path exactly,
+        """The in-plan (Catalyst expression) strategy — explicit opt-in
+        (auto maps to broadcast; the r3 A/B showed jvm is never faster on
+        this box) — must reproduce the fused-kernel path exactly,
         including the engine-divergence fallback routing: the corpus has
         Kannada turns whose combining marks Java (?U)\\w treats as word
         chars but Python \\w does not, so those MUST go through the Python

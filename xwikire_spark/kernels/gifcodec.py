@@ -51,10 +51,14 @@ class _BitStream:
 def _sub_blocks(payload: bytes, pos: int) -> tuple[bytes, int]:
     out = bytearray()
     while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: sub-block chain runs off end")
         size = payload[pos]
         pos += 1
         if size == 0:
             return bytes(out), pos
+        if pos + size > len(payload):
+            raise ValueError("truncated GIF: short data sub-block")
         out += payload[pos : pos + size]
         pos += size
 
@@ -101,16 +105,23 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytearray:
     return out[:n_pixels]
 
 
+def _need(payload: bytes, pos: int, n: int) -> None:
+    if pos + n > len(payload):
+        raise ValueError("truncated GIF: header/table runs off end")
+
+
 def decode_gif(payload: bytes) -> tuple[int, int, int, bytearray]:
     """-> (width, height, 3, flat RGB samples) — first frame, composed
     onto the logical screen (background-filled)."""
     if not sniff_gif(payload):
         raise ValueError("not a GIF")
+    _need(payload, 6, 7)
     sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 ** ((flags & 7) + 1)
+        _need(payload, pos, 3 * n)
         gct = payload[pos : pos + 3 * n]
         pos += 3 * n
     while pos < len(payload):
@@ -120,6 +131,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytearray]:
             pos += 1
             _, pos = _sub_blocks(payload, pos)
         elif b == 0x2C:  # image descriptor — decode this (first) frame
+            _need(payload, pos, 9)
             left, top, w, h, iflags = struct.unpack(
                 "<HHHHB", payload[pos : pos + 9]
             )
@@ -127,14 +139,21 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytearray]:
             table = gct
             if iflags & 0x80:  # local color table
                 n = 2 ** ((iflags & 7) + 1)
+                _need(payload, pos, 3 * n)
                 table = payload[pos : pos + 3 * n]
                 pos += 3 * n
             if table is None:
                 raise ValueError("GIF image with no color table")
+            _need(payload, pos, 1)
             min_code = payload[pos]
             pos += 1
             data, pos = _sub_blocks(payload, pos)
             idx = _lzw_decode(data, min_code, w * h)
+            if len(idx) < w * h:
+                # EOI (or stream end) arrived before w*h pixels decoded —
+                # malformed input must surface as ValueError, not a raw
+                # IndexError from the compositing loops below
+                raise ValueError("truncated GIF: LZW ended early")
             if iflags & 0x40:  # interlaced: rows arrive in 4 passes
                 rows = bytearray(w * h)
                 src = 0

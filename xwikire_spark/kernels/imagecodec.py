@@ -4,10 +4,12 @@ DCT), and GIF87a/89a (via ``kernels/gifcodec.py`` — full LZW, interlace).
 
 Closes the round-2 "image decode honestly stubbed" gap for the formats
 decodable without PIL/libvips: PNG is zlib + per-scanline filters, PPM a
-header + raw bytes, and baseline JPEG is implemented outright in
-jpegcodec. operators/multimodal.py uses this as its REAL decode path;
-remaining codecs (GIF/WebP/video) still raise NotImplementedError (swap in
-libvips in production; the Spark-side plumbing is format-agnostic).
+header + raw bytes, baseline JPEG is implemented outright in jpegcodec,
+and GIF in gifcodec. operators/multimodal.py uses this as its REAL decode
+path; the remaining stubs are WebP and inter-frame video codecs
+(H.264/VP9) — those raise NotImplementedError (swap in libvips/ffmpeg in
+production; the Spark-side plumbing is format-agnostic). MJPEG-in-MP4
+frame extraction is real via kernels/mp4codec.py + decode_jpeg.
 
 Scope (deliberately small, fully tested): 8-bit depth; PNG color types
 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); no interlace, no palette.
@@ -26,7 +28,7 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """'png' | 'ppm' | 'jpeg' | None for anything else."""
+    """'png' | 'ppm' | 'jpeg' | 'gif' | None for anything else."""
     if payload.startswith(_PNG_SIG):
         return "png"
     if payload.startswith(b"P6"):

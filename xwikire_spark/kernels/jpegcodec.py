@@ -283,6 +283,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
         elif m == 0xDA:  # SOS — entropy data follows; decode and finish
+            if data[0] < len(comps):
+                # legal baseline non-interleaved multi-scan stream: the
+                # first SOS covers only some components and more scans
+                # follow. We decode single-scan (interleaved) files only;
+                # silently returning the partial scan would mis-decode a
+                # color image as grayscale.
+                raise NotImplementedError(
+                    "multi-scan baseline JPEG (SOS lists "
+                    f"{data[0]}/{len(comps)} components)"
+                )
             scan = []
             for c in range(data[0]):
                 cid, tt = data[1 + 2 * c], data[2 + 2 * c]

@@ -351,7 +351,7 @@ def ngram_jaccard_pairs_within_groups(
     group_cols: list[str],
     text_col: str = "text",
     threshold: float = 0.6,
-    max_token_df: int = 1000,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard for all pairs within small groups — the
     SQL-checkable near-dup variant (inverted-index join on tokens, shared
@@ -359,16 +359,18 @@ def ngram_jaccard_pairs_within_groups(
     ``near_duplicates_minhash`` for corpus-wide dedup.
     Output: doc_a, doc_b, jaccard.
 
-    ``max_token_df``: (group, token) postings larger than this are dropped
-    from the shared-evidence index before the self-join — the same
-    stop-bucket guard as lsh_candidate_pairs' ``max_bucket``. A token
-    present in d docs of one group contributes d² join rows; without the
-    cap one hot (lang, source) group with a stopword-like token turns the
-    operator quadratic. Consequence (documented, like minhash recall):
-    pairs whose overlap relied on capped tokens have their intersection —
-    hence jaccard — underestimated, so this stays an exact operator only
-    while no group's token df exceeds the cap; n_a/n_b denominators are
-    computed before the cap and stay exact."""
+    ``max_token_df`` (opt-in, default None = exact): (group, token)
+    postings larger than this are dropped from the shared-evidence index
+    before the self-join — the same stop-bucket guard as
+    lsh_candidate_pairs' ``max_bucket``. A token present in d docs of one
+    group contributes d² join rows; the cap bounds one hot (lang, source)
+    group with a stopword-like token from turning the operator quadratic.
+    Consequence when set (documented, like minhash recall): pairs whose
+    overlap relied on capped tokens have their intersection — hence
+    jaccard — underestimated, so exactness holds only while no group's
+    token df exceeds the cap; n_a/n_b denominators are computed before the
+    cap and stay exact. The default is None so exactness is never lost
+    silently — callers running hot-group corpora opt in explicitly."""
     toks = docs.select(
         *group_cols, "doc_id",
         F.explode(
@@ -376,16 +378,18 @@ def ngram_jaccard_pairs_within_groups(
         ).alias("token"),
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
-    guarded = (
-        toks.withColumn(
-            "token_df",
-            F.count(F.lit(1)).over(
-                Window.partitionBy(*group_cols, "token")
-            ),
+    guarded = toks
+    if max_token_df is not None:
+        guarded = (
+            toks.withColumn(
+                "token_df",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy(*group_cols, "token")
+                ),
+            )
+            .where(F.col("token_df") <= max_token_df)
+            .drop("token_df")
         )
-        .where(F.col("token_df") <= max_token_df)
-        .drop("token_df")
-    )
     a = guarded.alias("a")
     b = guarded.alias("b")
     shared = (

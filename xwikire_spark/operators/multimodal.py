@@ -1,16 +1,21 @@
 """Multimodal column handling: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-Decode status (round 3): PNG, binary-PPM and baseline JPEG
+Decode status (round 4): PNG, binary-PPM, baseline JPEG and GIF87a/89a
 decode/resize/re-encode are REAL (dependency-free codecs in
-``kernels/imagecodec.py`` / ``kernels/jpegcodec.py``), and RIFF/WAVE PCM
-audio decode + feature extraction is REAL (``kernels/wavcodec.py``) — so
-``fake=False`` works end-to-end for those formats. Remaining codecs
-(GIF/WebP, compressed audio, video frames) still raise
-NotImplementedError without PIL/libvips/ffmpeg;
-``fake=True`` keeps the deterministic byte-stat path for them. The
-Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
-is identical across all three paths.
+``kernels/imagecodec.py`` / ``jpegcodec.py`` / ``gifcodec.py``), RIFF/WAVE
+PCM audio decode + feature extraction is REAL (``kernels/wavcodec.py``),
+and MJPEG-in-MP4 video frame decode is REAL (``kernels/mp4codec.py``) — so
+``fake=False`` works end-to-end for those formats. Remaining codecs (WebP,
+compressed audio MP3/AAC/FLAC, inter-frame video H.264/VP9) still raise
+NotImplementedError without PIL/libvips/ffmpeg; ``fake=True`` keeps the
+deterministic byte-stat path for them. The Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — is identical across all paths.
+
+Error contract (F5 quarantine): a null, truncated, corrupt, or
+unsupported-format payload yields NULL features plus an ``err`` tag
+(``extract_media_features``) or passes through untouched
+(``resize_images``) — one bad payload never aborts a corpus-wide job.
 
 Scale notes: binary payloads ride the columnar path (Arrow buffers, no
 base64); batch size is bounded by bytes not rows
@@ -30,7 +35,7 @@ MEDIA_SCHEMA = (
 
 FEATURES_SCHEMA = (
     "media_id string, kind string, n_bytes int, sha1 string, "
-    "feat array<float>"
+    "feat array<float>, err string"
 )
 
 
@@ -49,12 +54,10 @@ def _decode_image_bytes(payload: bytes, fake: bool):
             float(n % 17),
             float(n % 29),
         ]
-    # REAL decode: PNG/PPM/baseline-JPEG (kernels/imagecodec.py) and
-    # RIFF/WAVE PCM audio (kernels/wavcodec.py — same 8-float feature
-    # shape, so FEATURES_SCHEMA holds across modalities); other codecs
-    # raise NotImplementedError until PIL/libvips/libsndfile exists.
-    # Null/empty payloads yield NULL features (F5 quarantine semantics:
-    # one missing payload must not abort the corpus-wide job).
+    # REAL decode: PNG/PPM/baseline-JPEG/GIF (kernels/imagecodec.py
+    # dispatch) and RIFF/WAVE PCM audio (kernels/wavcodec.py — same
+    # 8-float feature shape, so FEATURES_SCHEMA holds across modalities);
+    # WebP/compressed-audio raise NotImplementedError (caught by caller).
     if not payload:
         return None
     from xwikire_spark.kernels.imagecodec import channel_stats, decode_image
@@ -67,6 +70,22 @@ def _decode_image_bytes(payload: bytes, fake: bool):
     if sniff_wav(payload):
         return audio_stats(*decode_wav(payload))
     return channel_stats(*decode_image(payload))
+
+
+def _safe_decode(payload: bytes, fake: bool):
+    """(features, err) — F5 per-row quarantine around the real codecs: a
+    truncated GIF, corrupt JPEG, or unsupported WebP payload yields
+    (None, tag) instead of aborting the whole corpus job. The err tag keeps
+    the failure observable (filter err IS NOT NULL = the quarantine table).
+    """
+    if not fake and not payload:
+        return None, "empty_payload"
+    try:
+        return _decode_image_bytes(payload, fake), None
+    except NotImplementedError as e:
+        return None, f"unsupported: {e}"
+    except Exception as e:  # corrupt payloads: ValueError/struct.error/...
+        return None, f"decode_error: {type(e).__name__}: {e}"
 
 
 def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -82,12 +101,14 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            feats, shas, sizes = [], [], []
+            feats, shas, sizes, errs = [], [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
                 sizes.append(len(b))
                 shas.append(hashlib.sha1(b).hexdigest())
-                feats.append(_decode_image_bytes(b, fake))
+                f, e = _safe_decode(b, fake)
+                feats.append(f)
+                errs.append(e)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -95,6 +116,7 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     "n_bytes": sizes,
                     "sha1": shas,
                     "feat": feats,
+                    "err": pd.Series(errs, dtype="object"),
                 }
             )
 
@@ -165,14 +187,24 @@ def resize_images(
                     heights.append(None if pd.isna(h0) else int(h0))
                     continue
                 if not fake:
-                    # REAL path: PNG/PPM/baseline-JPEG decode -> nearest-
-                    # neighbor resample -> family-preserving re-encode;
-                    # other codecs raise NotImplementedError (decode_image)
-                    w1, h1, ch, px = decode_image(b)
-                    rp = resize_nearest(w1, h1, ch, px, width, height)
-                    payloads.append(
-                        encode_image(sniff_format(b), width, height, ch, rp)
-                    )
+                    # REAL path: PNG/PPM/baseline-JPEG/GIF decode ->
+                    # nearest-neighbor resample -> family-preserving
+                    # re-encode. Corrupt or unsupported (WebP) payloads
+                    # pass through untouched with original metadata — the
+                    # same F5 quarantine as the null-payload branch above.
+                    try:
+                        w1, h1, ch, px = decode_image(b)
+                        rp = resize_nearest(w1, h1, ch, px, width, height)
+                        payloads.append(
+                            encode_image(
+                                sniff_format(b), width, height, ch, rp
+                            )
+                        )
+                    except Exception:
+                        payloads.append(b)
+                        widths.append(None if pd.isna(w0) else int(w0))
+                        heights.append(None if pd.isna(h0) else int(h0))
+                        continue
                 else:
                     seed = hashlib.sha1(
                         b + f"{width}x{height}".encode()
