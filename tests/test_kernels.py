@@ -905,3 +905,86 @@ class TestGifCodec:
         re = encode_image("gif", 4, 3, 3, rp)
         assert sniff_format(re) == "gif"  # palette subset stays GIF
         assert decode_image(re)[:3] == (4, 3, 3)
+
+
+class TestLangId:
+    """Trained char-trigram language id (kernels/langid_corpus.py — r3
+    next-round #3): profiles learned from the pinned generated corpus,
+    gated on held-out snippets with DISJOINT content vocabulary."""
+
+    def test_heldout_accuracy(self):
+        from xwikire_spark.kernels.langid_corpus import snippets
+        from xwikire_spark.operators.textstats import (
+            _LANG_PROFILES,
+            langid_score,
+        )
+
+        held = snippets("heldout")  # 600 pinned mixed-language snippets
+        assert len(held) >= 200
+        ok = 0
+        for lang, t in held:
+            tl = t.lower()
+            best, best_score = "und", 0
+            for lg in sorted(_LANG_PROFILES):
+                s = langid_score(tl, lg)
+                if s > best_score:
+                    best, best_score = lg, s
+            ok += best == lang
+        acc = ok / len(held)
+        assert acc >= 0.95, f"held-out accuracy {acc:.3f} < 0.95"
+
+    def test_profiles_deterministic_and_sql_safe(self):
+        """Every worker must train the identical profile (seed-pinned
+        corpus), and every trigram must survive verbatim embedding in a
+        single-quoted SQL literal (the oracle generator's contract)."""
+        from xwikire_spark.kernels.langid_corpus import LANGS, train_profiles
+
+        train_profiles.cache_clear()
+        a = train_profiles()
+        train_profiles.cache_clear()
+        b = train_profiles()
+        assert a == b
+        assert set(a) == set(LANGS)
+        for lang, tris in a.items():
+            assert len(tris) >= 40, lang
+            for t in tris:
+                assert len(t) == 3
+                assert "'" not in t and "\\" not in t
+
+    def test_train_heldout_content_disjoint(self):
+        from xwikire_spark.kernels.langid_corpus import (
+            _CONTENT_WORDS,
+            _split,
+        )
+
+        for lang, words in _CONTENT_WORDS.items():
+            tr, he = set(_split(words, "train")), set(_split(words, "heldout"))
+            assert tr and he and not (tr & he), lang
+
+    def test_udf_matches_pure_scoring(self, spark):
+        """The vectorized UDF and the pure scorer agree (same profiles,
+        same tie rules) on a mixed batch including null/empty."""
+        from xwikire_spark.kernels.langid_corpus import snippets
+        from xwikire_spark.operators.textstats import (
+            _LANG_PROFILES,
+            langid_score,
+            language_id,
+        )
+
+        rows = [(f"d{i}", t) for i, (_, t) in enumerate(snippets("heldout")[:30])]
+        rows += [("dnull", None), ("dempty", "")]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {r["doc_id"]: r["pred_lang"]
+               for r in language_id(docs).collect()}
+
+        def pure(t):
+            tl = (t or "").lower()
+            best, bs = "und", 0
+            for lg in sorted(_LANG_PROFILES):
+                s = langid_score(tl, lg)
+                if s > bs:
+                    best, bs = lg, s
+            return best
+
+        for doc_id, t in rows:
+            assert got[doc_id] == pure(t), doc_id

@@ -88,6 +88,36 @@ class TestExtraction:
                   if (f.conv_id, f.pid) not in by_conv_pid]
         assert not missed, missed[:5]
 
+    def test_jvm_prefilter_matches_unfiltered(self, spark, corpus):
+        """Round-4 scaling lever: the JVM rlike pre-filter in front of the
+        fused kernel is a NECESSARY-condition filter — output must be
+        bit-identical with it on or off, including on the Kannada turns
+        whose combining marks make Java \\b diverge from Python \\b (those
+        must bypass the filter rather than be judged by Java semantics)."""
+        _, _, transcripts, alias_df, pred_df = corpus
+        cols = TRIPLE_KEY + ["subj_surface", "pred_surface", "obj_surface"]
+        on = {tuple(r[k] for k in cols)
+              for r in extract_triples(
+                  transcripts, alias_df, pred_df, jvm_prefilter=True)
+              .select(*cols).collect()}
+        off = {tuple(r[k] for k in cols)
+               for r in extract_triples(
+                   transcripts, alias_df, pred_df, jvm_prefilter=False)
+               .select(*cols).collect()}
+        assert on == off and len(on) > 0
+        # the filter must be IN the plan when on (codegen-side RLike before
+        # the Arrow hop), and absent when off
+        # analyzed plan, not optimized: the test corpus is a LocalRelation,
+        # which Catalyst folds deterministic filters into at optimize time
+        plan_on = extract_triples(
+            transcripts, alias_df, pred_df, jvm_prefilter=True
+        )._jdf.queryExecution().analyzed().toString()
+        plan_off = extract_triples(
+            transcripts, alias_df, pred_df, jvm_prefilter=False
+        )._jdf.queryExecution().analyzed().toString()
+        assert "RLIKE" in plan_on.upper()
+        assert "RLIKE" not in plan_off.upper()
+
     def test_join_strategy_matches_broadcast(self, spark, corpus):
         """The join-based dictionary path (no broadcast, dictionaries stay
         distributed) must reproduce the fused-automaton path exactly —

@@ -164,15 +164,17 @@ def fingerprint_min_shingle(
 
 # --- language id: character-n-gram profiles, vectorized pandas UDF --------
 
-_LANG_PROFILES = {
-    # tiny marker profiles; a real deployment broadcasts trained profiles.
-    "en": ["th", "he", "in", "er", "an", "the "],
-    "fr": ["le", "es", "de", "en", "é", " le "],
-    "de": ["en", "er", "ch", "de", "ü", " der "],
-    "es": ["de", "la", "os", "ón", "ñ", " el "],
-    "zh": ["的", "是", "不", "了", "在", "我"],
-    "kn": ["ಕ", "ನ", "ಡ", "ದ", "ರ", "ವ"],
-}
+# TRAINED char-trigram profiles (r3 next-round #3 closed): 64 distinctive
+# trigrams per language, learned from the pinned generated corpus in
+# kernels/langid_corpus.py (Cavnar-Trenkle-style top-N selection, kept
+# distinctive across languages). Held-out accuracy is gated at >= 0.95 on
+# 600 pinned snippets with DISJOINT content vocabulary
+# (tests/test_kernels.py::TestLangId). Deterministic: the corpus is
+# seed-pinned, so every worker trains the identical profile in ~ms at
+# import; the DuckDB oracle SQL is generated from the same dict.
+from xwikire_spark.kernels.langid_corpus import train_profiles
+
+_LANG_PROFILES = train_profiles()
 
 
 def langid_score(text: str, lang: str) -> int:
