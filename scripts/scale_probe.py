@@ -87,15 +87,18 @@ def main() -> None:
     )
     s.sparkContext.setLogLevel("ERROR")
 
-    if job in ("pipeline", "broadcast", "jvm", "joinpath"):
+    if job in ("pipeline", "broadcast", "jvm", "joinpath", "nopre"):
         # job name doubles as dict_strategy: "pipeline" = the production
-        # default ("auto"); the explicit names pin one tier for A/B probes.
+        # default ("auto"); the explicit names pin one tier for A/B probes;
+        # "nopre" = broadcast with the r4 JVM pre-filter disabled.
         from xwikire_spark import datagen
         from xwikire_spark.pipeline.extraction import extract_triples
 
         strategy = "auto" if job == "pipeline" else (
-            "join" if job == "joinpath" else job
+            "join" if job == "joinpath" else
+            "broadcast" if job == "nopre" else job
         )
+        prefilter = None if job != "nopre" else False
         rows, _ = datagen.generate_transcripts(n_convs=400, turns_per_conv=12)
         t = s.createDataFrame(pd.DataFrame(rows))
         # 4 tasks per core: stragglers amortize (one slow task idles a core
@@ -115,7 +118,7 @@ def main() -> None:
             # no input repartition: mapInPandas consumes range partitions
             # directly; the only shuffle is the first-evidence aggregate.
             return extract_triples(
-                big, al, pr, dict_strategy=strategy
+                big, al, pr, dict_strategy=strategy, jvm_prefilter=prefilter
             ).count()
 
         n_units = repl * 4800

@@ -988,3 +988,85 @@ class TestLangId:
 
         for doc_id, t in rows:
             assert got[doc_id] == pure(t), doc_id
+
+
+class TestMp4Codec:
+    """ISO BMFF demux + MJPEG frame decode (kernels/mp4codec.py — r3
+    next-round #4). The writer is the vector source, like encode_gif /
+    encode_wav for their decoders."""
+
+    @staticmethod
+    def _fixture(n=4, w=8, h=8, fps=2):
+        from xwikire_spark.kernels.jpegcodec import encode_jpeg
+        from xwikire_spark.kernels.mp4codec import encode_mjpeg_mp4
+
+        frames = []
+        for k in range(n):
+            px = bytes(
+                bytearray(
+                    (x * 30 + k * 40) % 256
+                    for y in range(h) for x in range(w) for _ in range(3)
+                )
+            )
+            frames.append(encode_jpeg(w, h, 3, px))
+        return frames, encode_mjpeg_mp4(w, h, frames, fps=fps)
+
+    def test_demux_round_trip(self):
+        from xwikire_spark.kernels.mp4codec import (
+            decode_sample,
+            frame_bytes,
+            sniff_mp4,
+            video_samples,
+        )
+
+        frames, blob = self._fixture()
+        assert sniff_mp4(blob)
+        tr = video_samples(blob)
+        assert tr.fourcc == "jpeg"
+        assert (tr.width, tr.height) == (8, 8)
+        assert [frame_bytes(blob, tr, i) for i in range(4)] == frames
+        # dts ladder at fps=2, timescale=1000: 0, 500, 1000, 1500
+        assert [s[0] for s in tr.samples] == [0, 500, 1000, 1500]
+        w, h, c, px = decode_sample(blob, tr, 2)
+        assert (w, h, c) == (8, 8, 3) and len(px) == 192
+
+    def test_sample_at_ms_nearest_previous(self):
+        from xwikire_spark.kernels.mp4codec import video_samples
+
+        _, blob = self._fixture()
+        tr = video_samples(blob)
+        for ms, want in [(0, 0), (499, 0), (500, 1), (1499, 2),
+                         (1500, 3), (99999, 3)]:
+            assert tr.sample_at_ms(ms) == want, ms
+
+    def test_non_mjpeg_indexes_but_wont_decode(self):
+        """An avc1 (H.264) track must still index — the Spark sampling
+        plan needs timestamps/offsets — but decode_sample must raise
+        NotImplementedError, honestly."""
+        import pytest as _pytest
+
+        from xwikire_spark.kernels.mp4codec import decode_sample, video_samples
+
+        _, blob = self._fixture()
+        patched = blob.replace(b"jpeg", b"avc1")
+        tr = video_samples(patched)
+        assert tr.fourcc == "avc1" and len(tr.samples) == 4
+        with _pytest.raises(NotImplementedError, match="avc1"):
+            decode_sample(patched, tr, 0)
+
+    def test_truncation_contract(self):
+        """Every prefix either parses or raises ValueError — never a raw
+        IndexError/struct.error (same malformed-input contract as the GIF
+        codec)."""
+        from xwikire_spark.kernels.mp4codec import video_samples
+
+        _, blob = self._fixture(n=2)
+        bad = 0
+        for cut in range(8, len(blob), 7):
+            try:
+                video_samples(blob[:cut])
+            except ValueError:
+                bad += 1
+            except NotImplementedError:
+                pass
+        assert bad > 0  # truncations are detected, not crashed on

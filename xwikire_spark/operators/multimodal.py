@@ -125,11 +125,12 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp —
-    pure relational expansion (sequence + explode), the decode of each
-    frame being the stubbed step. Shows the partitioning shape: a long
+    pure relational expansion (sequence + explode) over metadata only (no
+    payload read, Parquet-pruned). Shows the partitioning shape: a long
     video fans out to many frame rows BEFORE the heavy decode, so decode
     parallelism is per-frame, not per-video (skew-proof for hour-long
-    inputs)."""
+    inputs). ``sample_video_frames`` is the matching REAL path (MJPEG-in-
+    MP4 via kernels/mp4codec.py)."""
     from pyspark.sql import functions as F
 
     return (
@@ -146,6 +147,101 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "mime", "sample_ms")
     )
+
+
+FRAMES_SCHEMA = (
+    "media_id string, sample_ms int, frame_idx int, frame binary, err string"
+)
+
+
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, fake: bool = True
+) -> DataFrame:
+    """Video -> sampled frame rows (FRAMES_SCHEMA): the REAL counterpart of
+    ``frame_sample_plan``.
+
+    Two-phase 100 TB shape: this stage only PARSES the MP4 sample index
+    (kernels/mp4codec.py box walker) and SLICES the sampled frames'
+    bytes out of mdat — cheap and I/O-bound; each output row carries one
+    small frame payload, not the whole video. The heavy per-frame decode
+    then runs downstream (``extract_media_features`` on the frame column,
+    or ``mp4codec.decode_sample``) AFTER Spark redistributes the frame
+    rows — so decode parallelism is per-frame even when one input is an
+    hour-long video (the skew story frame_sample_plan documents).
+
+    Timestamps: 0, every_ms, ... up to the track's last sample dts; each
+    sample_ms maps to the frame on screen at that time (nearest previous).
+    Works for any codec the demuxer can index; MJPEG frames are decodable
+    in-container, H.264/VP9 slices come out as opaque bytes (tagged via
+    ``err`` only when indexing fails — F5 quarantine, one corrupt video
+    never aborts the corpus job).
+
+    ``fake=True`` keeps the deterministic no-codec path (sha1-derived
+    frame bytes at the metadata duration's cadence) for plumbing tests.
+    """
+    from pyspark.sql import functions as F
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from xwikire_spark.kernels.mp4codec import frame_bytes, video_samples
+
+        for pdf in batches:
+            mids, ts, idxs, blobs, errs = [], [], [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                if fake:
+                    d = 0 if pd.isna(dur) else int(dur)
+                    for k, ms in enumerate(range(0, max(d, 1), every_ms)):
+                        mids.append(mid)
+                        ts.append(ms)
+                        idxs.append(k)
+                        blobs.append(
+                            hashlib.sha1(b + str(ms).encode()).digest()
+                        )
+                        errs.append(None)
+                    continue
+                try:
+                    if not b:
+                        raise ValueError("empty payload")
+                    track = video_samples(b)
+                    last_ms = (
+                        track.samples[-1][0] * 1000 // track.timescale
+                    )
+                    seen = set()
+                    for ms in range(0, last_ms + 1, every_ms):
+                        i = track.sample_at_ms(ms)
+                        mids.append(mid)
+                        ts.append(ms)
+                        idxs.append(i)
+                        # slice once per distinct frame; repeats are cheap
+                        blobs.append(frame_bytes(b, track, i))
+                        errs.append(None)
+                        seen.add(i)
+                except Exception as e:
+                    mids.append(mid)
+                    ts.append(None)
+                    idxs.append(None)
+                    blobs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "sample_ms": pd.Series(ts, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="object"),
+                    "frame": blobs,
+                    "err": pd.Series(errs, dtype="object"),
+                }
+            )
+
+    videos = media.where(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms"
+    )
+    return videos.mapInPandas(gen, FRAMES_SCHEMA)
 
 
 def resize_images(
