@@ -878,3 +878,131 @@ class TestVideoFrames:
         assert [r["sample_ms"] for r in got] == [0, 500, 1000, 1500]
         assert all(len(bytes(r["frame"])) == 20 for r in got)  # sha1 bytes
         assert len({bytes(r["frame"]) for r in got}) == 4  # ms-dependent
+
+
+class TestDecontaminate:
+    """Decontamination — the removal side of benchmark_contamination (r3
+    next-round #6): drop-doc and span-excise modes, observe() counters,
+    DuckDB differential for the excise rebuild."""
+
+    DOCS = TestBenchmarkContamination.DOCS
+    PROBES = TestBenchmarkContamination.PROBES
+
+    def _frames(self, spark):
+        docs = spark.createDataFrame(self.DOCS, "doc_id int, text string")
+        probes = spark.createDataFrame(
+            self.PROBES, "probe_id int, text string"
+        )
+        return docs, probes
+
+    def test_drop_mode(self, spark):
+        from xwikire_spark.operators.dedup import decontaminate
+
+        docs, probes = self._frames(spark)
+        kept = decontaminate(docs, probes, k=8, mode="drop").collect()
+        assert sorted(r["doc_id"] for r in kept) == [2, 4]
+        # schema unchanged in drop mode
+        assert [f.name for f in
+                decontaminate(docs, probes, mode="drop").schema] == \
+            ["doc_id", "text"]
+
+    def test_excise_mode_cuts_spans_and_counts(self, spark):
+        from xwikire_spark.operators.dedup import decontaminate
+
+        docs, probes = self._frames(spark)
+        got = {r["doc_id"]: r for r in
+               decontaminate(docs, probes, k=8, mode="excise").collect()}
+        assert set(got) == {1, 2, 3, 4, 5}
+        # clean docs untouched
+        assert got[2]["text"] == self.DOCS[1][1]
+        assert got[2]["n_removed_words"] == 0
+        assert got[4]["text"] == "short doc"
+        # doc 1 (12 words): matched 8-grams start at word 0 and 1, covering
+        # indexes 0..8 -> suffix "every single day" survives
+        assert got[1]["text"] == "every single day"
+        assert got[1]["n_removed_words"] == 9
+        # doc 3 has a 3-word prefix then the contaminated 9 words
+        assert got[3]["text"] == "prefix words then"
+        # doc 5 loops the contaminated 8-gram: everything goes (27 words)
+        assert got[5]["text"] == ""
+        assert got[5]["n_removed_words"] == 27
+        # excised text no longer contaminates (idempotence)
+        again = decontaminate(
+            spark.createDataFrame(
+                [(r["doc_id"], r["text"]) for r in got.values()],
+                "doc_id int, text string",
+            ),
+            probes, k=8, mode="excise",
+        ).collect()
+        assert all(r["n_removed_words"] == 0 for r in again)
+
+    def test_observe_counters(self, spark):
+        from pyspark.sql import Observation
+
+        from xwikire_spark.operators.dedup import decontaminate
+
+        docs, probes = self._frames(spark)
+        out = decontaminate(docs, probes, k=8, mode="excise")
+        # the operator's own observe() rides the plan; attach a second,
+        # readable Observation to assert the counters from one pass
+        obs = Observation("decontam_check")
+        watched = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_removed_words").alias("removed"),
+        )
+        watched.collect()
+        assert obs.get["docs"] == 5
+        assert obs.get["removed"] == 9 + 9 + 27
+
+    def test_duckdb_differential_excise(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from xwikire_spark.operators.dedup import decontaminate
+
+        docs, probes = self._frames(spark)
+        sdf = (
+            decontaminate(docs, probes, k=8, mode="excise")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.register("docs", pd.DataFrame(self.DOCS,
+                                          columns=["doc_id", "text"]))
+        con.register("probes", pd.DataFrame(
+            self.PROBES, columns=["probe_id", "text"]))
+        odf = con.execute("""
+            WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                       FROM docs),
+            ds AS (
+              SELECT doc_id, i AS pos,
+                     list_aggregate(ws[i:i+7], 'string_agg', ' ') AS shingle
+              FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+            ), ps AS (
+              SELECT DISTINCT unnest(
+                [list_aggregate(words[i:i+7], 'string_agg', ' ')
+                 for i in generate_series(1, len(words) - 7)]) AS shingle
+              FROM (SELECT string_split(text, ' ') AS words FROM probes)
+            ), cov AS (
+              SELECT DISTINCT doc_id, j
+              FROM (SELECT ds.doc_id, ds.pos FROM ds JOIN ps USING (shingle)),
+                   unnest(generate_series(pos, pos + 7)) AS t(j)
+            ), idx AS (
+              SELECT doc_id, i, ws[i] AS word, len(ws) AS n0
+              FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+            ), rebuilt AS (
+              SELECT idx.doc_id,
+                     string_agg(word, ' ' ORDER BY i)
+                       FILTER (WHERE cov.j IS NULL) AS text,
+                     CAST(any_value(n0)
+                          - count(*) FILTER (WHERE cov.j IS NULL) AS INT)
+                       AS n_removed_words
+              FROM idx
+              LEFT JOIN cov ON cov.doc_id = idx.doc_id AND cov.j = idx.i
+              GROUP BY idx.doc_id
+            )
+            SELECT doc_id, coalesce(text, '') AS text, n_removed_words
+            FROM rebuilt ORDER BY doc_id
+        """).df()
+        pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)

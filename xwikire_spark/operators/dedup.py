@@ -444,11 +444,7 @@ def benchmark_contamination(
     doc_sh = docs.select(
         "doc_id", F.explode(_shingles(text_col, k)).alias("shingle")
     ).distinct()
-    probe_sh = probes.select(
-        F.explode(_shingles(probe_text_col, k)).alias("shingle")
-    ).distinct()
-    if broadcast_probes:
-        probe_sh = F.broadcast(probe_sh)
+    probe_sh = _probe_shingles(probes, probe_text_col, k, broadcast_probes)
     return (
         doc_sh.join(probe_sh, "shingle")
         .groupBy("doc_id")
@@ -456,4 +452,117 @@ def benchmark_contamination(
             F.count(F.lit(1)).alias("n_contaminated_shingles"),
             F.min("shingle").alias("example_shingle"),
         )
+    )
+
+
+def _probe_shingles(
+    probes: DataFrame, probe_text_col: str, k: int, broadcast_probes: bool
+):
+    probe_sh = probes.select(
+        F.explode(_shingles(probe_text_col, k)).alias("shingle")
+    ).distinct()
+    return F.broadcast(probe_sh) if broadcast_probes else probe_sh
+
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 8,
+    mode: str = "drop",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """The removal side of ``benchmark_contamination`` — the operator real
+    pipelines run daily: given a benchmark/probe set, produce the scrubbed
+    corpus.
+
+    ``mode="drop"``: remove every document sharing any k-word shingle with
+    the probes (left-anti join against the distinct hit doc_ids; schema
+    unchanged). The strict choice — a contaminated doc may hold benchmark
+    answers outside the matched span too.
+
+    ``mode="excise"``: keep the document but cut the contaminated spans:
+    every word participating in ANY matched k-shingle is removed and the
+    text rebuilt with single spaces (token-level excision; overlapping
+    matches merge naturally via index coverage). Adds
+    ``n_removed_words``. Word-index coverage runs as JVM array expressions
+    — the per-doc hit-position list is small (bounded by the probe set),
+    so the exists() scan per word is O(words x hits) with tiny hits.
+
+    Observability: metrics ride ``df.observe`` (named
+    ``decontaminate`` — docs_kept + words_removed), so a 100 TB run gets
+    its audit counters from the same single pass that writes the scrubbed
+    corpus, not a second scan. Read them from a QueryExecutionListener or
+    ``Observation`` object downstream.
+
+    Scale shape: identical to benchmark_contamination — corpus explodes
+    linearly, distinct probe shingles broadcast, never pairwise.
+    """
+    if mode not in ("drop", "excise"):
+        raise ValueError(f"mode must be 'drop' or 'excise', got {mode!r}")
+    probe_sh = _probe_shingles(probes, probe_text_col, k, broadcast_probes)
+
+    if mode == "drop":
+        hit_ids = (
+            docs.select(
+                "doc_id", F.explode(_shingles(text_col, k)).alias("shingle")
+            )
+            .join(probe_sh, "shingle")
+            .select("doc_id")
+            .distinct()
+        )
+        out = docs.join(hit_ids, "doc_id", "left_anti")
+        return out.observe(
+            "decontaminate",
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.lit(0).alias("words_removed"),
+        )
+
+    # excise: matched shingle START positions per doc (0-based), then drop
+    # every word index covered by [pos, pos+k-1]
+    hit_pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(_shingles(text_col, k)).alias("pos", "shingle"),
+        )
+        .join(probe_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("hit_pos"))
+    )
+    words = F.split(F.col(text_col), " ")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("hit_pos"), lambda p: (i >= p) & (i <= p + F.lit(k - 1))
+    )
+    kept = F.when(F.col("hit_pos").isNull(), words).otherwise(
+        F.filter(words, lambda w, i: ~covered(i))
+    )
+    other_cols = [c for c in docs.columns if c != text_col]
+    # Generate barrier: evaluate kept/word-count ONCE per row — referencing
+    # `kept` twice (text + count) would make Catalyst re-inline the whole
+    # filter chain per use (the round-1/2 projection-collapse trap)
+    g = docs.join(hit_pos, "doc_id", "left").select(
+        *other_cols,
+        F.col(text_col).isNull().alias("_null_text"),
+        F.explode(
+            F.array(
+                F.struct(
+                    kept.alias("kept"), F.size(words).alias("n0")
+                )
+            )
+        ).alias("r"),
+    )
+    out = g.select(
+        *other_cols,
+        F.when(F.col("_null_text"), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", F.col("r.kept")))
+        .alias(text_col),
+        F.coalesce(
+            (F.col("r.n0") - F.size("r.kept")).cast("int"), F.lit(0)
+        ).alias("n_removed_words"),
+    )
+    return out.observe(
+        "decontaminate",
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_removed_words").alias("words_removed"),
     )
