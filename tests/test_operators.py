@@ -1006,3 +1006,105 @@ class TestDecontaminate:
             FROM rebuilt ORDER BY doc_id
         """).df()
         pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
+
+
+class TestIncrementalDedup:
+    """Streaming dedup bridge (r3 next-round #7): newly-arrived docs join
+    the existing MinHash signature index; batch-then-increment must equal
+    the full-batch pair set."""
+
+    def _docs(self):
+        rows, planted = _mk_docs(n_base=25)
+        for r in rows:
+            r["doc_id"] = str(r["doc_id"])
+        return rows, {(str(a), str(b)) for a, b in planted}
+
+    def test_batch_then_increment_equals_full_batch(self, spark):
+        from xwikire_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            near_duplicates_minhash,
+        )
+
+        rows, _ = self._docs()
+        # split so near-dup pairs straddle the boundary: bases (even rows)
+        # arrive first, their planted dups (odd rows) second — plus a few
+        # whole pairs inside each half
+        first = rows[:20] + rows[20::2]
+        second = [r for r in rows if r not in first]
+        all_df = spark.createDataFrame(pd.DataFrame(rows))
+        f_df = spark.createDataFrame(pd.DataFrame(first))
+        s_df = spark.createDataFrame(pd.DataFrame(second))
+
+        full = {(r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in near_duplicates_minhash(all_df).collect()}
+
+        empty_index = spark.createDataFrame(
+            [], "doc_id string, sig array<bigint>"
+        )
+        p0, idx0 = incremental_minhash_dedup(f_df, empty_index, f_df)
+        p1, idx1 = incremental_minhash_dedup(all_df, idx0, s_df)
+        got = {(r["doc_a"], r["doc_b"], r["jaccard"])
+               for r in p0.collect()} | \
+              {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in p1.collect()}
+        assert got == full and len(full) > 0
+        # the updated index covers every doc exactly once
+        assert idx1.count() == len(rows)
+        assert idx1.select("doc_id").distinct().count() == len(rows)
+
+    def test_redelivery_is_idempotent(self, spark):
+        """At-least-once delivery: re-sending an already-indexed batch
+        adds no signatures and re-emits no new-new pairs beyond what the
+        anti-join admits (zero fresh docs -> zero pairs)."""
+        from xwikire_spark.operators.dedup import incremental_minhash_dedup
+
+        rows, _ = self._docs()
+        df = spark.createDataFrame(pd.DataFrame(rows[:10]))
+        empty_index = spark.createDataFrame(
+            [], "doc_id string, sig array<bigint>"
+        )
+        p0, idx0 = incremental_minhash_dedup(df, empty_index, df)
+        n0 = idx0.count()
+        p1, idx1 = incremental_minhash_dedup(df, idx0, df)
+        assert idx1.count() == n0
+        assert p1.count() == 0
+
+    def test_streaming_end_to_end(self, spark, tmp_path):
+        """Two file drops through run_incremental_dedup (availableNow x2):
+        the pairs accumulated across both runs equal the full-batch set."""
+        import os
+
+        from xwikire_spark.operators.dedup import near_duplicates_minhash
+        from xwikire_spark.streaming.incremental import run_incremental_dedup
+
+        rows, _ = self._docs()
+        for r in rows:
+            r["lang"], r["source"] = "en", "s"
+        cols = ["doc_id", "lang", "source", "text"]
+        first, second = rows[: len(rows) // 2], rows[len(rows) // 2:]
+        d = {k: str(tmp_path / k) for k in
+             ("input", "index", "pairs", "ckpt")}
+        os.makedirs(d["input"], exist_ok=True)
+
+        def drop(batch, name):
+            spark.createDataFrame(
+                pd.DataFrame(batch)[cols]
+            ).coalesce(1).write.mode("append").parquet(d["input"])
+
+        drop(first, "a")
+        run_incremental_dedup(
+            spark, d["input"], d["index"], d["pairs"], d["ckpt"]
+        ).awaitTermination(120)
+        drop(second, "b")
+        run_incremental_dedup(
+            spark, d["input"], d["index"], d["pairs"], d["ckpt"]
+        ).awaitTermination(120)
+
+        got = {(r["doc_a"], r["doc_b"], r["jaccard"])
+               for r in spark.read.parquet(d["pairs"]).collect()}
+        all_df = spark.createDataFrame(pd.DataFrame(rows)[cols])
+        full = {(r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in near_duplicates_minhash(all_df).collect()}
+        assert got == full and len(full) > 0
+        sigs = spark.read.parquet(d["index"])
+        assert sigs.count() == len(rows)
+        assert sigs.select("doc_id").distinct().count() == len(rows)

@@ -231,6 +231,110 @@ def near_duplicates_minhash(
     return jaccard_verify(docs, cands, text_col, threshold, shingle_k=k)
 
 
+# --- incremental (streaming-bridge) near-dup: append-only LSH index --------
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.8,
+    k: int = 3,
+    max_bucket: int = 200,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental corpus dedup (VERDICT r3 next-round #7): newly-arrived
+    docs join the EXISTING MinHash signature index instead of re-hashing
+    the whole corpus.
+
+    -> (new_pairs, updated_index).
+
+    Contract: ``batch P0 then incremental P1`` equals the full-batch pair
+    set — P0 ∪ P1 == near_duplicates_minhash(all docs) — because:
+    - signatures are per-doc (order-free), so the appended index equals
+      the full-batch signature table;
+    - candidates are the banded equi-join of the WHOLE index against the
+      new docs' bands only (every pair involving a new doc; old-old pairs
+      were already emitted when their younger side arrived);
+    - the ``max_bucket`` stop guard counts over the UNION population, the
+      same statistic the full batch sees (so THIS increment's pairs match
+      the full batch exactly; pairs emitted by *earlier* increments were
+      guarded against their then-current population — under the
+      exact-dedup-first contract the guard only ever drops boilerplate
+      buckets, so the histories agree in practice);
+    - verification is the same exact shingle-Jaccard.
+
+    Inputs: ``index`` is the append-only (doc_id, sig) table from previous
+    runs (empty DataFrame with that schema on the first run); ``new_docs``
+    the arriving batch — docs already present in the index are skipped via
+    an anti-join on doc_id (at-least-once delivery safe); ``corpus`` must
+    contain the text of every doc an emitted pair can touch (old + new) —
+    verification joins it by doc_id, so at 100 TB this is a by-key join
+    against the corpus table, never a scan.
+
+    Scale shape: per increment the work is O(new docs) hashing + one
+    banded join of index x new-bands (broadcast the new side when small) —
+    exactly the streaming-friendly shape; nothing about the old corpus is
+    recomputed.
+    """
+    fresh = new_docs.join(
+        index.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    new_sigs = minhash_signatures(fresh, text_col, n_hashes, k=k)
+    updated = index.unionByName(new_sigs)
+
+    rows_per_band = F.size("sig") / n_bands
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.slice(
+                                F.col("sig"),
+                                (b * rows_per_band + 1).cast("int"),
+                                rows_per_band.cast("int"),
+                            ),
+                        )
+                    ),
+                )
+            ).alias("band", "band_hash"),
+        )
+
+    all_banded = banded(updated)
+    # stop-bucket guard over the UNION population — the same statistic the
+    # full batch computes, so incremental == batch by construction
+    guarded = (
+        all_banded.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash")),
+        )
+        .where(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    new_ids = new_sigs.select("doc_id")
+    new_banded = guarded.join(F.broadcast(new_ids), "doc_id")
+    a = guarded.alias("a")
+    b = new_banded.alias("b")
+    cands = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    pairs = jaccard_verify(corpus, cands, text_col, threshold, shingle_k=k)
+    return pairs, updated
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document from token xxhash64s.
 

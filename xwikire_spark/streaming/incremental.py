@@ -86,3 +86,73 @@ def run_available_now(
         .outputMode("append")
         .start()
     )
+
+
+DOCS_SCHEMA = "doc_id string, lang string, source string, text string"
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    docs_schema: str = DOCS_SCHEMA,
+    threshold: float = 0.8,
+) -> StreamingQuery:
+    """Streaming + dedup composition (VERDICT r3 next-round #7): as
+    document files arrive, their MinHash signatures append to an LSH index
+    and near-dup pairs against the WHOLE corpus so far stream out.
+
+    Shape per micro-batch (foreachBatch — the index is a dependency the
+    pure streaming API can't express):
+    1. read the append-only signature index (empty on first batch);
+    2. ``incremental_minhash_dedup``: anti-join known doc_ids, hash only
+       the new docs, band-join new bands against the full index, verify
+       exactly against the corpus read from ``input_dir``;
+    3. append new signatures to ``index_dir`` and new pairs to
+       ``pairs_dir``.
+    The streaming checkpoint makes file delivery exactly-once; the
+    anti-join makes re-delivered docs idempotent, so the index stays
+    duplicate-free across restarts.
+    """
+    from pyspark.sql import functions as F
+
+    from xwikire_spark.operators.dedup import incremental_minhash_dedup
+
+    sig_schema = "doc_id string, sig array<bigint>"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            index = s.read.parquet(index_dir)
+        except Exception:  # first batch: no index yet
+            index = s.createDataFrame([], sig_schema)
+        corpus = s.read.schema(docs_schema).parquet(input_dir)
+        new_docs = batch_df.select("doc_id", "text")
+        pairs, _updated = incremental_minhash_dedup(
+            corpus, index, new_docs, threshold=threshold
+        )
+        # persist ONLY the new signatures (append-only index): recompute
+        # the fresh set the same way the operator did
+        fresh = new_docs.join(
+            index.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        from xwikire_spark.operators.dedup import minhash_signatures
+
+        minhash_signatures(fresh).write.mode("append").parquet(index_dir)
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(pairs_dir)
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
