@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_near_jaccard",
     "ann_topk_cosine",
     "txt_stats",
+    "txt_hygiene",
 ]
 
 

@@ -753,11 +753,12 @@ class TestWavCodec:
         # float32 passthrough
         _, _, x = decode_wav(wav(3, 32, struct.pack("<2f", 0.25, -0.75)))
         assert abs(x[0, 0] - 0.25) < 1e-7 and abs(x[1, 0] + 0.75) < 1e-7
-        # compressed formats raise
+        # still-unsupported compressed formats raise (mu-law/A-law/IMA
+        # are real now — TestCompressedAudio; MS-ADPCM 0x02 is not)
         import pytest as _pytest
 
         with _pytest.raises(NotImplementedError):
-            decode_wav(wav(7, 8, b"\x00\x00"))  # mu-law
+            decode_wav(wav(0x02, 4, b"\x00\x00"))  # MS-ADPCM
 
     def test_extra_chunks_and_odd_padding(self):
         import struct
@@ -1070,3 +1071,79 @@ class TestMp4Codec:
             except NotImplementedError:
                 pass
         assert bad > 0  # truncations are detected, not crashed on
+
+
+class TestCompressedAudio:
+    """G.711 mu-law/A-law + IMA ADPCM decode (r3 'compressed audio'
+    missing-item, the honestly-verifiable slice): G.711 is gated by the
+    per-code bijection — every one of the 256 codes must re-encode to
+    itself (except mu-law 0x7F, the legitimate negative zero whose
+    canonical encoding is 0xFF) — and ADPCM by encode->decode SNR."""
+
+    def test_g711_code_bijection(self):
+        from xwikire_spark.kernels.wavcodec import (
+            _ALAW_TABLE,
+            _ULAW_TABLE,
+            alaw_encode,
+            ulaw_encode,
+        )
+
+        u_bad = [c for c in range(256)
+                 if ulaw_encode(int(_ULAW_TABLE[c])) != c]
+        assert u_bad == [0x7F]  # negative zero -> canonical 0xFF
+        assert ulaw_encode(int(_ULAW_TABLE[0x7F])) == 0xFF
+        assert [c for c in range(256)
+                if alaw_encode(int(_ALAW_TABLE[c])) != c] == []
+
+    def test_g711_wav_round_trip(self):
+        import numpy as np
+
+        from xwikire_spark.kernels.wavcodec import (
+            decode_wav,
+            encode_wav_g711,
+        )
+
+        t = np.arange(4000) / 8000.0
+        sig = 0.6 * np.sin(2 * np.pi * 440 * t)
+        for law in ("ulaw", "alaw"):
+            rate, ch, x = decode_wav(encode_wav_g711(8000, sig, law))
+            assert (rate, ch) == (8000, 1)
+            # companding noise only: ~ -36 dB for a 0.6-amplitude sine
+            assert float(np.sqrt(np.mean((x[:, 0] - sig) ** 2))) < 0.01
+
+    def test_ima_adpcm_mono_and_stereo(self):
+        import numpy as np
+
+        from xwikire_spark.kernels.wavcodec import (
+            decode_wav,
+            encode_wav_ima,
+        )
+
+        t = np.arange(4000) / 8000.0
+        sig = 0.6 * np.sin(2 * np.pi * 440 * t)
+        rate, ch, x = decode_wav(encode_wav_ima(8000, sig))
+        assert (rate, ch) == (8000, 1)
+        got = x[: len(sig), 0]
+        assert float(np.sqrt(np.mean((got - sig) ** 2))) < 0.03
+        assert float(np.corrcoef(got, sig)[0, 1]) > 0.995
+        st = np.stack([sig, 0.3 * np.cos(2 * np.pi * 220 * t)], axis=1)
+        rate, ch, x = decode_wav(encode_wav_ima(8000, st))
+        assert ch == 2
+        # stereo de-interleave must keep channels independent
+        for c in range(2):
+            err = float(np.sqrt(np.mean((x[: len(st), c] - st[:, c]) ** 2)))
+            assert err < 0.03, (c, err)
+
+    def test_unsupported_format_still_raises(self):
+        import struct
+
+        import numpy as np
+        import pytest as _pytest
+
+        from xwikire_spark.kernels.wavcodec import decode_wav, encode_wav
+
+        blob = bytearray(encode_wav(8000, np.zeros(16)))
+        i = blob.index(b"fmt ") + 8
+        struct.pack_into("<H", blob, i, 0x55)  # MP3-in-WAV tag
+        with _pytest.raises(NotImplementedError, match="85"):
+            decode_wav(bytes(blob))

@@ -163,3 +163,46 @@ def test_document_stats_single_scan_no_shuffle(spark, tmp_path):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+class TestBucketedJoins:
+    def test_same_bucket_join_has_no_exchange(self, spark, tmp_path):
+        """Two tables bucketed on the join key with equal bucket counts
+        must join with ZERO Exchange — the on-disk layout replaces the
+        shuffle (the 100 TB repeated-join shape; sources/bucketing.py).
+        A Sort may remain when a bucket spans several files; the shuffle
+        is the part that matters at scale."""
+        from xwikire_spark.sources.bucketing import (
+            cocluster_join,
+            write_bucketed,
+        )
+
+        left = spark.createDataFrame(
+            pd.DataFrame({"conv_id": [f"c{i % 7}" for i in range(200)],
+                          "turn_idx": list(range(200))})
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame({"conv_id": [f"c{i % 5}" for i in range(50)],
+                          "canonical": [f"e{i}" for i in range(50)]})
+        )
+        write_bucketed(left, "bj_left", 8, sort_cols=("conv_id",),
+                       path=str(tmp_path / "l"))
+        write_bucketed(right, "bj_right", 8, sort_cols=("conv_id",),
+                       path=str(tmp_path / "r"))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = cocluster_join(spark, "bj_left", "bj_right", ["conv_id"])
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            assert j.count() > 0
+            # control: the same join WITHOUT bucketing does shuffle
+            u = left.join(right, ["conv_id"])
+            uplan = u._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in uplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS bj_left")
+            spark.sql("DROP TABLE IF EXISTS bj_right")
+

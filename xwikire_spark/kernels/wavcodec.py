@@ -2,12 +2,15 @@
 behind ``operators/multimodal.py``, closing the "audio honestly stubbed"
 gap the same way imagecodec/jpegcodec closed images.
 
-Scope (bounded, fully tested): integer PCM 8/16/24/32-bit and IEEE
-float32, any channel count, WAVE_FORMAT_EXTENSIBLE unwrapped, chunk
-walker tolerant of extra chunks (LIST/fact/cue) and odd-size padding.
-Compressed WAV (ADPCM/mu-law) and other containers raise
-NotImplementedError — swap in ffmpeg/libsndfile in production; the
-Spark-side plumbing is format-agnostic.
+Scope (bounded, fully tested): integer PCM 8/16/24/32-bit, IEEE float32,
+G.711 mu-law (format 7) and A-law (format 6) — both bijective per code,
+gated by an all-256-codes round-trip identity — and IMA/DVI ADPCM (format
+0x11, mono + stereo block de-interleave), gated by encode->decode SNR.
+Any channel count, WAVE_FORMAT_EXTENSIBLE unwrapped, chunk walker
+tolerant of extra chunks (LIST/fact/cue) and odd-size padding. Remaining
+compressed-audio formats (MP3/AAC/FLAC) raise NotImplementedError — swap
+in ffmpeg/libsndfile in production; the Spark-side plumbing is
+format-agnostic.
 
 Decoded form: ``(sample_rate, n_channels, samples)`` with samples a
 float64 ndarray of shape (frames, channels) scaled to [-1, 1].
@@ -22,6 +25,160 @@ import numpy as np
 
 def sniff_wav(payload: bytes) -> bool:
     return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+# --- G.711: classic CCITT companding, exact integer tables -----------------
+
+_ULAW_BIAS, _ULAW_CLIP = 0x84, 32635
+
+
+def _ulaw_decode_table() -> np.ndarray:
+    out = np.empty(256, np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+        out[code] = -mag if u & 0x80 else mag
+    return out
+
+
+def _alaw_decode_table() -> np.ndarray:
+    out = np.empty(256, np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        if exp == 0:
+            mag = (mant << 4) + 8
+        else:
+            mag = ((mant << 4) + 0x108) << (exp - 1)
+        out[code] = mag if a & 0x80 else -mag
+    return out
+
+
+_ULAW_TABLE = _ulaw_decode_table()
+_ALAW_TABLE = _alaw_decode_table()
+
+
+def ulaw_encode(pcm: int) -> int:
+    """int16 -> mu-law code (CCITT G.711); inverse of _ULAW_TABLE on its
+    own range (bijective per code — the round-trip test's property)."""
+    sign = 0x80 if pcm < 0 else 0
+    if pcm < 0:
+        pcm = -pcm
+    pcm = min(pcm, _ULAW_CLIP) + _ULAW_BIAS
+    exp = pcm.bit_length() - 8
+    mant = (pcm >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def alaw_encode(pcm: int) -> int:
+    """int16 -> A-law code (CCITT G.711)."""
+    sign = 0x80 if pcm >= 0 else 0
+    if pcm < 0:
+        pcm = -pcm - 1 if pcm == -32768 else -pcm
+    pcm = min(pcm, 32767)
+    if pcm < 256:
+        code = pcm >> 4
+    else:
+        exp = pcm.bit_length() - 9
+        mant = (pcm >> (exp + 4)) & 0x0F
+        code = (exp + 1) << 4 | mant
+    return (sign | code) ^ 0x55
+
+
+# --- IMA/DVI ADPCM: 4-bit differential, 89-step table ----------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], np.int32)
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibbles(
+    nibbles, predictor: int, index: int
+) -> tuple[list[int], int, int]:
+    out = []
+    for n in nibbles:
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        predictor = max(-32768, min(32767,
+                                    predictor - diff if n & 8
+                                    else predictor + diff))
+        index = max(0, min(88, index + _IMA_INDEX[n & 7]))
+        out.append(predictor)
+    return out, predictor, index
+
+
+def _ima_encode_sample(s: int, predictor: int, index: int):
+    step = int(_IMA_STEPS[index])
+    diff = s - predictor
+    n = 8 if diff < 0 else 0
+    diff = abs(diff)
+    d = step >> 3
+    if diff >= step:
+        n |= 4
+        diff -= step
+        d += step
+    if diff >= step >> 1:
+        n |= 2
+        diff -= step >> 1
+        d += step >> 1
+    if diff >= step >> 2:
+        n |= 1
+        d += step >> 2
+    predictor = max(-32768, min(32767, predictor - d if n & 8
+                                else predictor + d))
+    index = max(0, min(88, index + _IMA_INDEX[n & 7]))
+    return n, predictor, index
+
+
+def _decode_ima(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM 'data' chunk -> int16 array, channel-interleaved.
+    Block layout: per channel a 4-byte header (predictor int16, step index,
+    reserved), then 4-byte per-channel groups of 8 nibbles, low nibble
+    first."""
+    if block_align < 4 * n_ch:
+        raise ValueError("IMA ADPCM block_align smaller than headers")
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for b0 in range(0, len(data) - (4 * n_ch) + 1, block_align):
+        block = data[b0 : b0 + block_align]
+        preds, idxs = [], []
+        for c in range(n_ch):
+            p, i = struct.unpack_from("<hB", block, 4 * c)
+            preds.append(p)
+            idxs.append(min(88, i))
+            chans[c].append(p)  # header predictor IS the first sample
+        body = block[4 * n_ch :]
+        for g0 in range(0, len(body) - (4 * n_ch) + 1, 4 * n_ch):
+            for c in range(n_ch):
+                word = body[g0 + 4 * c : g0 + 4 * c + 4]
+                nibs = []
+                for byte in word:
+                    nibs.append(byte & 0x0F)
+                    nibs.append(byte >> 4)
+                dec, preds[c], idxs[c] = _ima_decode_nibbles(
+                    nibs, preds[c], idxs[c]
+                )
+                chans[c].extend(dec)
+    frames = min(len(c) for c in chans)
+    out = np.empty((frames, n_ch), np.int16)
+    for c in range(n_ch):
+        out[:, c] = chans[c][:frames]
+    return out.reshape(-1)
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -63,10 +220,19 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
             raise NotImplementedError(f"PCM bit depth {bits}")
     elif audio_format == 3 and bits == 32:  # IEEE float
         x = np.frombuffer(data, "<f4").astype(np.float64)
+    elif audio_format == 6:  # G.711 A-law
+        x = _ALAW_TABLE[np.frombuffer(data, np.uint8)].astype(np.float64) \
+            / 32768
+    elif audio_format == 7:  # G.711 mu-law
+        x = _ULAW_TABLE[np.frombuffer(data, np.uint8)].astype(np.float64) \
+            / 32768
+    elif audio_format == 0x11:  # IMA/DVI ADPCM
+        x = _decode_ima(data, n_ch, _balign).astype(np.float64) / 32768
     else:
         raise NotImplementedError(
-            f"WAV audio format {audio_format} ({bits}-bit) — PCM and "
-            f"float32 only without libsndfile"
+            f"WAV audio format {audio_format} ({bits}-bit) — PCM, float32, "
+            f"G.711 and IMA ADPCM only without libsndfile (MP3/AAC/FLAC "
+            f"need ffmpeg in production)"
         )
     if n_ch < 1:
         raise ValueError("WAV with zero channels")
@@ -96,6 +262,83 @@ def encode_wav(
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_g711(rate: int, samples: np.ndarray, law: str = "ulaw") -> bytes:
+    """G.711 writer (format 7 mu-law / 6 A-law), mono or multi-channel —
+    test-vector source for the companded decode path."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_ch = x.shape[1]
+    pcm = np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int64)
+    enc = ulaw_encode if law == "ulaw" else alaw_encode
+    data = bytes(enc(int(v)) for v in pcm.reshape(-1))
+    code = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHHH", code, n_ch, rate, rate * n_ch, n_ch, 8, 0)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_ima(
+    rate: int, samples: np.ndarray, samples_per_block: int = 505
+) -> bytes:
+    """IMA/DVI ADPCM writer (mono or stereo) — standard block layout:
+    per-channel 4-byte header whose predictor IS the first sample, then
+    interleaved 4-byte nibble groups."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_ch = x.shape[1]
+    pcm = np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int32)
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    block_align = 4 * n_ch + (samples_per_block - 1) // 2 * n_ch
+    blocks = []
+    idxs = [0] * n_ch
+    for b0 in range(0, pcm.shape[0], samples_per_block):
+        blk = pcm[b0 : b0 + samples_per_block]
+        if blk.shape[0] < samples_per_block:  # zero-pad the tail block
+            pad = np.zeros(
+                (samples_per_block - blk.shape[0], n_ch), np.int32
+            )
+            blk = np.vstack([blk, pad])
+        header = b"".join(
+            struct.pack("<hBB", int(blk[0, c]), idxs[c], 0)
+            for c in range(n_ch)
+        )
+        preds = [int(blk[0, c]) for c in range(n_ch)]
+        nibs: list[list[int]] = [[] for _ in range(n_ch)]
+        for s in range(1, samples_per_block):
+            for c in range(n_ch):
+                n, preds[c], idxs[c] = _ima_encode_sample(
+                    int(blk[s, c]), preds[c], idxs[c]
+                )
+                nibs[c].append(n)
+        body = bytearray()
+        for g in range(0, samples_per_block - 1, 8):
+            for c in range(n_ch):
+                for k in range(0, 8, 2):
+                    body.append(
+                        nibs[c][g + k] | (nibs[c][g + k + 1] << 4)
+                    )
+        blocks.append(header + bytes(body))
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, n_ch, rate,
+        rate * block_align // samples_per_block, block_align, 4, 2,
+        samples_per_block,
+    )
+    body2 = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body2)) + body2
 
 
 def audio_stats(rate: int, n_ch: int, x: np.ndarray) -> list[float]:

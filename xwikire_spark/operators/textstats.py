@@ -186,22 +186,33 @@ def langid_score(text: str, lang: str) -> int:
 
 
 def make_langid_udf():
-    """text -> predicted language code (pandas UDF; n-gram hit scoring with
-    marker-length weights; deterministic ties by lang code, 'und' when no
-    marker hits)."""
+    """text -> predicted language code (pandas UDF; trigram hit scoring
+    with marker-length weights; deterministic ties by lang code, 'und'
+    when no marker hits).
+
+    Fully vectorized (r3 nit closed): per-marker ``Series.str.count`` over
+    the whole Arrow batch instead of a Python loop per row — idxmax over
+    the sorted-lang column order reproduces the pure scorer's
+    strictly-greater tie rule exactly (first max in lang-code order)."""
 
     @F.pandas_udf(StringType())
     def langid(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            t = (t or "").lower()
-            best_lang, best_score = "und", 0
-            for lang in sorted(_LANG_PROFILES):
-                score = langid_score(t, lang)
-                if score > best_score:
-                    best_lang, best_score = lang, score
-            out.append(best_lang)
-        return pd.Series(out)
+        import re
+
+        t = texts.fillna("").str.lower()
+        langs = sorted(_LANG_PROFILES)
+        scores = pd.DataFrame(
+            {
+                lang: sum(
+                    (t.str.count(re.escape(m), flags=0) * len(m)
+                     for m in _LANG_PROFILES[lang]),
+                    start=pd.Series(0, index=t.index),
+                )
+                for lang in langs
+            }
+        )
+        pred = scores.idxmax(axis=1).where(scores.max(axis=1) > 0, "und")
+        return pred.astype(str)
 
     return langid
 
