@@ -1264,44 +1264,100 @@ def q_txt_hygiene(spark, sf_dir):
     the deterministic doc_id % 37 == 0 subset of the corpus itself, which
     guarantees hits (every probe doc contaminates at least itself)."""
     from xwikire_spark.operators.dedup import (
-        benchmark_contamination,
-        decontaminate,
+        contamination_hits,
+        excise_exprs,
     )
     from xwikire_spark.operators.textstats import scrub_pii
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    # The sf parquet is ONE unsplittable row group, so without this the
+    # whole per-doc pipeline below would run on a single core; at real
+    # scale the input arrives in thousands of splits and this exchange
+    # is a no-op cost-wise (one hash pass of the corpus, reused by every
+    # branch via ReuseExchange). Explicit N keeps AQE from coalescing
+    # the tiny test corpus back to one partition.
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     planted = docs.select(
         "doc_id",
+        "text",
         F.concat_ws(
             " ",
             "text",
             F.concat(F.lit("see http://ex.com/p"), F.col("doc_id")),
             F.concat(F.lit("mail u"), F.col("doc_id"), F.lit("@ex.org")),
-        ).alias("text"),
-    )
-    scrub = scrub_pii(planted).select(
-        F.lit("scrub").alias("op"),
-        "doc_id",
-        F.col("n_urls").cast("long").alias("n"),
-        F.col("n_emails").cast("long").alias("m"),
-        F.col("text").alias("v"),
+        ).alias("ptext"),
     )
     probes = docs.where(F.col("doc_id") % 37 == 0)
-    contam = benchmark_contamination(docs, probes, k=8).select(
-        F.lit("contam").alias("op"),
-        "doc_id",
-        F.col("n_contaminated_shingles").cast("long").alias("n"),
-        F.lit(None).cast("long").alias("m"),
-        F.col("example_shingle").alias("v"),
+
+    # FUSED single-pass family (was a 3-branch union = 3 corpus scans +
+    # 2 hit shuffles): scrub counts/redaction ride the main projection,
+    # the ONE contamination_hits aggregate (only matched shingles ever
+    # shuffle) joins back small (AQE broadcasts it at runtime), and each
+    # doc then EXPLODES into its tagged family rows — scrub + excise
+    # always, contam when the doc hit the probe set. One corpus pass,
+    # one tiny shuffle, identical rows to the old union (same oracle).
+    hits = contamination_hits(docs, probes, k=8)
+    # hits is bounded by the probe overlap (tiny next to the corpus):
+    # broadcast it so the corpus side never shuffles for the join-back
+    base = scrub_pii(planted, text_col="ptext").join(
+        F.broadcast(hits), "doc_id", "left"
     )
-    excise = decontaminate(docs, probes, k=8, mode="excise").select(
-        F.lit("excise").alias("op"),
+    kept, words = excise_exprs("text", "hit_pos", 8)
+    # Generate barrier: evaluate the word filter ONCE (the projection-
+    # collapse re-inlining trap); downstream refs to r.kept are plain
+    # attributes
+    g = base.select(
         "doc_id",
-        F.col("n_removed_words").cast("long").alias("n"),
-        F.lit(None).cast("long").alias("m"),
-        F.col("text").alias("v"),
+        "n_urls",
+        "n_emails",
+        "ptext",
+        "hit_pos",
+        "n_contaminated_shingles",
+        "example_shingle",
+        F.explode(
+            F.array(F.struct(kept.alias("kept"), F.size(words).alias("n0")))
+        ).alias("r"),
     )
-    return scrub.unionByName(contam).unionByName(excise)
+    fam = F.concat(
+        F.array(
+            F.struct(
+                F.lit("scrub").alias("op"),
+                F.col("n_urls").cast("long").alias("n"),
+                F.col("n_emails").cast("long").alias("m"),
+                F.col("ptext").alias("v"),
+            ),
+            F.struct(
+                F.lit("excise").alias("op"),
+                F.coalesce(
+                    (F.col("r.n0") - F.size("r.kept")).cast("long"),
+                    F.lit(0),
+                ).alias("n"),
+                F.lit(None).cast("long").alias("m"),
+                F.concat_ws(" ", F.col("r.kept")).alias("v"),
+            ),
+        ),
+        F.when(
+            F.col("hit_pos").isNotNull(),
+            F.array(
+                F.struct(
+                    F.lit("contam").alias("op"),
+                    F.col("n_contaminated_shingles").cast("long").alias("n"),
+                    F.lit(None).cast("long").alias("m"),
+                    F.col("example_shingle").alias("v"),
+                )
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<op:string,n:bigint,m:bigint,v:string>>"
+            )
+        ),
+    )
+    return g.select("doc_id", F.explode(fam).alias("t")).select(
+        "t.op", "doc_id", "t.n", "t.m", "t.v"
+    )
 
 
 # ---------------------------------------------------------------------------

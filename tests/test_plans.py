@@ -206,3 +206,36 @@ class TestBucketedJoins:
             spark.sql("DROP TABLE IF EXISTS bj_left")
             spark.sql("DROP TABLE IF EXISTS bj_right")
 
+
+class TestHygieneFusedPlan:
+    def test_txt_hygiene_single_pass(self, spark):
+        """The hygiene family (scrub + contamination + excise) must stay
+        FUSED: one tagged-explode pass over the corpus, the only real
+        shuffles being the explicit top repartition and the tiny
+        contamination-hits aggregate — never per-branch corpus shuffles
+        (the pre-r4 union shape: 3 scans + 2 sort-merge joins)."""
+        import __spark_entry__ as e
+
+        df = e.q_txt_hygiene(spark, "/root/testdata/sf0.001")
+        plan = physical_plan(df)
+        assert "SortMergeJoin" not in plan, plan
+        assert plan.count("BroadcastHashJoin") == 2  # probe shingles + hits
+        # The contamination-hits aggregate must run MAP-SIDE (input
+        # already hash-partitioned by doc_id): no ENSURE_REQUIREMENTS
+        # exchange on doc_id anywhere — the only doc_id exchanges are the
+        # explicit testbox repartition shim (REPARTITION_BY_NUM; collapses
+        # to zero at real scale where the input arrives pre-split), plus
+        # one inherent shingle-distinct on the tiny probe side.
+        import re
+
+        ensure = [
+            ln for ln in plan.splitlines()
+            if "ENSURE_REQUIREMENTS" in ln and "doc_id" in ln
+        ]
+        assert not ensure, ensure
+        shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert shuffles <= 4, plan
+        # exactly one Python-free tagged family: rows = 2*docs + hits
+        ops = {r["op"]: r["n"] for r in df.groupBy("op").count()
+               .withColumnRenamed("count", "n").collect()}
+        assert ops["scrub"] == ops["excise"] and 0 < ops["contam"] < ops["scrub"]

@@ -541,22 +541,9 @@ def benchmark_contamination(
     follows the common contamination heuristic: long enough that chance
     collisions vanish, short enough to catch paraphrase-free copying.
     """
-    # distinct on BOTH sides: n_contaminated_shingles counts distinct
-    # shared shingles, so a doc looping one contaminated 8-gram five
-    # times scores 1, not 5 (repetitive text must not outrank docs
-    # genuinely sharing more benchmark content)
-    doc_sh = docs.select(
-        "doc_id", F.explode(_shingles(text_col, k)).alias("shingle")
-    ).distinct()
-    probe_sh = _probe_shingles(probes, probe_text_col, k, broadcast_probes)
-    return (
-        doc_sh.join(probe_sh, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_contaminated_shingles"),
-            F.min("shingle").alias("example_shingle"),
-        )
-    )
+    return contamination_hits(
+        docs, probes, k, text_col, probe_text_col, broadcast_probes
+    ).select("doc_id", "n_contaminated_shingles", "example_shingle")
 
 
 def _probe_shingles(
@@ -568,6 +555,69 @@ def _probe_shingles(
     return F.broadcast(probe_sh) if broadcast_probes else probe_sh
 
 
+def contamination_hits(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Shared building block for the contamination family: per hit doc,
+    ``(doc_id, n_contaminated_shingles, example_shingle, hit_pos)`` where
+    ``hit_pos`` is the set of 0-based word positions starting a matched
+    k-shingle.
+
+    Plan shape (the 100 TB point): posexplode -> (broadcast) equi-join
+    FIRST — the join filters the corpus's shingle stream down to actual
+    hits before anything shuffles, so the one hash-aggregate exchange
+    carries only matched occurrences (benchmark overlap, tiny) instead of
+    every shingle in the corpus. Distinct-counting happens INSIDE the
+    aggregate (count_distinct), not as a pre-join ``.distinct()`` — an
+    earlier version deduped (doc_id, shingle) before joining, which
+    shuffled the entire corpus's shingle set to save nothing.
+
+    ``n_contaminated_shingles`` counts DISTINCT shared shingles: a doc
+    looping one contaminated 8-gram five times scores 1, not 5
+    (repetitive text must not outrank docs genuinely sharing more
+    benchmark content).
+
+    Both ``benchmark_contamination`` and ``decontaminate`` derive from
+    this frame; a caller needing several hygiene outputs in one action
+    (e.g. a tagged union) should build them all from ONE
+    ``contamination_hits`` result — the branches then share an identical
+    aggregate subtree and Spark's ReuseExchange serves them from a single
+    shuffle write.
+    """
+    probe_sh = _probe_shingles(probes, probe_text_col, k, broadcast_probes)
+    hits = docs.select(
+        "doc_id",
+        F.posexplode(_shingles(text_col, k)).alias("pos", "shingle"),
+    ).join(probe_sh, "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("shingle").alias("n_contaminated_shingles"),
+        F.min("shingle").alias("example_shingle"),
+        F.collect_set("pos").alias("hit_pos"),
+    )
+
+
+def excise_exprs(text_col: str, hit_pos_col: str, k: int):
+    """Column-expression pair ``(kept_words, all_words)`` for span
+    excision: ``kept_words`` filters out every word index covered by a
+    matched k-shingle starting at any position in ``hit_pos_col`` (NULL
+    hit list = keep everything). Shared by ``decontaminate`` and fused
+    multi-output hygiene plans; the per-word exists() scan is
+    O(words x hits) with hits bounded by the probe overlap."""
+    words = F.split(F.col(text_col), " ")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col(hit_pos_col), lambda p: (i >= p) & (i <= p + F.lit(k - 1))
+    )
+    kept = F.when(F.col(hit_pos_col).isNull(), words).otherwise(
+        F.filter(words, lambda w, i: ~covered(i))
+    )
+    return kept, words
+
+
 def decontaminate(
     docs: DataFrame,
     probes: DataFrame,
@@ -576,6 +626,7 @@ def decontaminate(
     text_col: str = "text",
     probe_text_col: str = "text",
     broadcast_probes: bool = True,
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """The removal side of ``benchmark_contamination`` — the operator real
     pipelines run daily: given a benchmark/probe set, produce the scrubbed
@@ -601,22 +652,21 @@ def decontaminate(
     ``Observation`` object downstream.
 
     Scale shape: identical to benchmark_contamination — corpus explodes
-    linearly, distinct probe shingles broadcast, never pairwise.
+    linearly, distinct probe shingles broadcast, never pairwise. Pass a
+    precomputed ``hits`` (from ``contamination_hits``) to share its
+    shuffle with sibling branches in the same action.
     """
     if mode not in ("drop", "excise"):
         raise ValueError(f"mode must be 'drop' or 'excise', got {mode!r}")
-    probe_sh = _probe_shingles(probes, probe_text_col, k, broadcast_probes)
+    if hits is None:
+        hits = contamination_hits(
+            docs, probes, k, text_col, probe_text_col, broadcast_probes
+        )
 
     if mode == "drop":
-        hit_ids = (
-            docs.select(
-                "doc_id", F.explode(_shingles(text_col, k)).alias("shingle")
-            )
-            .join(probe_sh, "shingle")
-            .select("doc_id")
-            .distinct()
+        out = docs.join(
+            hits.select("doc_id"), "doc_id", "left_anti"
         )
-        out = docs.join(hit_ids, "doc_id", "left_anti")
         return out.observe(
             "decontaminate",
             F.count(F.lit(1)).alias("docs_kept"),
@@ -625,22 +675,8 @@ def decontaminate(
 
     # excise: matched shingle START positions per doc (0-based), then drop
     # every word index covered by [pos, pos+k-1]
-    hit_pos = (
-        docs.select(
-            "doc_id",
-            F.posexplode(_shingles(text_col, k)).alias("pos", "shingle"),
-        )
-        .join(probe_sh, "shingle")
-        .groupBy("doc_id")
-        .agg(F.collect_set("pos").alias("hit_pos"))
-    )
-    words = F.split(F.col(text_col), " ")
-    covered = lambda i: F.exists(  # noqa: E731
-        F.col("hit_pos"), lambda p: (i >= p) & (i <= p + F.lit(k - 1))
-    )
-    kept = F.when(F.col("hit_pos").isNull(), words).otherwise(
-        F.filter(words, lambda w, i: ~covered(i))
-    )
+    hit_pos = hits.select("doc_id", "hit_pos")
+    kept, words = excise_exprs(text_col, "hit_pos", k)
     other_cols = [c for c in docs.columns if c != text_col]
     # Generate barrier: evaluate kept/word-count ONCE per row — referencing
     # `kept` twice (text + count) would make Catalyst re-inline the whole
