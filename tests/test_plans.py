@@ -239,3 +239,52 @@ class TestHygieneFusedPlan:
         ops = {r["op"]: r["n"] for r in df.groupBy("op").count()
                .withColumnRenamed("count", "n").collect()}
         assert ops["scrub"] == ops["excise"] and 0 < ops["contam"] < ops["scrub"]
+
+class TestAQESkewJoin:
+    def test_hot_conv_id_join_splits_skewed_partition(self, spark):
+        """north_rule: 'AQE skew-join handling' — evidence it actually
+        fires. One hot conv_id (50k turns) against a uniform dimension
+        must make AQE split the hot shuffle partition at runtime:
+        thresholds are scaled down so the testbox corpus crosses them,
+        exactly as a hot entity would cross the 256MB default at 10^12
+        turns. Assert on the FINAL adaptive plan (only available after
+        executing the frame's own QueryExecution; a downstream aggregate
+        suppresses the split — Spark declines skew handling when it may
+        introduce an extra shuffle — so the probe collects a projection)."""
+        from pyspark.sql import functions as F
+
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "32KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        }
+        old = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            hot = spark.range(0, 50_000).select(
+                F.lit("hot").alias("conv_id"),
+                F.col("id").alias("turn_idx"),
+                F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+            )
+            cold = spark.range(0, 500).select(
+                F.concat(F.lit("c"), (F.col("id") % 50).cast("string"))
+                .alias("conv_id"),
+                F.col("id").alias("turn_idx"),
+                F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+            )
+            dim = spark.createDataFrame(pd.DataFrame({
+                "conv_id": ["hot"] + [f"c{i}" for i in range(50)],
+                "meta": list(range(51)),
+            }))
+            j = hot.unionAll(cold).join(dim, "conv_id").select("turn_idx")
+            assert len(j.collect()) == 50_500
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "SortMergeJoin(skew=true)" in plan, plan
+            assert "skewed" in plan, plan
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
