@@ -1140,7 +1140,10 @@ def q_dedup_near_jaccard(spark, sf_dir):
     """SQL-checkable near-dup: token-set Jaccard within (lang, source)."""
     from xwikire_spark.operators.dedup import ngram_jaccard_pairs_within_groups
 
-    docs = _load(spark, sf_dir, "documents")
+    # one-row-group testbox shim (see q_txt_hygiene)
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return ngram_jaccard_pairs_within_groups(
         docs, ["lang", "source"], threshold=0.8
     )
@@ -1161,9 +1164,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     true-duplicate bucket exceeds the cap) never reach the banded join."""
     from xwikire_spark.operators.dedup import near_duplicates_minhash
 
-    return near_duplicates_minhash(
-        _load(spark, sf_dir, "documents"), threshold=0.8
+    # one-row-group testbox shim (see q_txt_hygiene): the shingle+hash
+    # explode is the dominant cost and must not run on a single core
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
+    return near_duplicates_minhash(docs, threshold=0.8)
 
 
 def q_dedup_simhash(spark, sf_dir):
