@@ -105,34 +105,44 @@ def connected_components(
             F.least(
                 F.col("component"),
                 F.coalesce(F.col("neighbor_min"), F.col("component")),
-            ).alias("component"),
+            ).alias("new_component"),
+            # carry the pre-iteration label so convergence needs no
+            # join-back against `labels`
+            F.col("component").alias("prev"),
         )
         # (b) pointer jump: component := label(component). label(c) <= c is
         # invariant (labels only decrease, starting at the id itself), so
         # the jump never increases a label.
         parent = stepped.select(
-            F.col("id").alias("component"),
-            F.col("component").alias("grand"),
+            F.col("id").alias("new_component"),
+            F.col("new_component").alias("grand"),
         )
+        # Convergence count rides the checkpoint job via observe() —
+        # ONE Spark job per iteration (was: checkpoint job + a separate
+        # count job joining new vs old labels). Labels only decrease, so
+        # component != prev identifies every change.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         jumped = (
-            stepped.join(parent, "component", "left")
+            stepped.join(parent, "new_component", "left")
             .select(
                 "id",
-                F.coalesce(F.col("grand"), F.col("component")).alias(
+                F.coalesce(F.col("grand"), F.col("new_component")).alias(
                     "component"
                 ),
+                "prev",
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("prev")).cast("long")
+                ).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        labels = jumped.drop("prev")
+        if not (dict(obs.get).get("changed") or 0):
             break
     return labels
 
