@@ -291,6 +291,89 @@ class TestStreaming:
             .where(F.col("count") > 1).count() == 0
 
 
+
+    def test_watermarked_windowed_counts_append_mode(self, spark, tmp_path):
+        """streaming/windowed.py: tumbling-window counts with a watermark
+        in APPEND mode. Pins the REAL (measured) Spark semantics:
+
+        - a window is emitted exactly once, at the end of the first
+          batch whose watermark passes its end;
+        - a late row is dropped iff its window was already evicted in a
+          PRIOR batch (predicate: window end <= wm, one-batch lag) —
+          NOT merely because its event time trails the watermark: a
+          late row whose window is still in state merges.
+
+        One availableNow run, maxFilesPerTrigger=1, file mtimes forced
+        increasing -> deterministic batches: wm(batch N) derives from
+        data through batch N-1; eviction at end of batch N uses
+        wm(batch N)."""
+        import datetime as dt
+        import os
+        import time as _time
+
+        from xwikire_spark.streaming.windowed import (
+            run_windowed_counts,
+            windowed_turn_counts,
+        )
+
+        (tmp_path / "win_in").mkdir()
+        inp, out, ck = (str(tmp_path / d) for d in
+                        ("win_in", "win_out", "win_ck"))
+
+        def drop(name, ts_list, order):
+            p = str(tmp_path / "win_in" / f"{name}.parquet")
+            pd.DataFrame({
+                "conv_id": ["c1"] * len(ts_list),
+                "ts": [dt.datetime(2026, 1, 1, h, m) for h, m in ts_list],
+            }).to_parquet(
+                # pandas defaults to ns timestamps, which Spark's µs
+                # TIMESTAMP reader rejects outright
+                p, coerce_timestamps="us",
+            )
+            # the file source processes oldest-mtime first: pin the order
+            t = _time.time() + order * 10
+            os.utime(p, (t, t))
+
+        # batch 0 (wm 0): W0=[9,10) x2, W1=[10,11) x2, W2=[11,12) x1
+        drop("a", [(9, 10), (9, 20), (10, 10), (10, 20), (11, 10)], 0)
+        # batch 1 (wm 10:39): 11:20 merges W2; 12:29 opens W3; end of
+        # batch evicts W0 -> emitted n=2
+        drop("b", [(11, 20), (12, 29)], 1)
+        # batch 2 (wm 11:58): 9:30 targets the ALREADY-EVICTED W0 ->
+        # DROPPED; 10:30 trails the wm but W1 is still in state ->
+        # MERGES (n=3); 14:00 advances wm; end of batch evicts W1
+        drop("c", [(9, 30), (10, 30), (14, 0)], 2)
+        # batch 3 (no-data, wm 13:29): evicts W2 (n=2) and W3 (n=1)
+
+        stream = (spark.readStream
+                  .schema("conv_id string, ts timestamp")
+                  .option("maxFilesPerTrigger", 1).parquet(inp))
+        q = run_windowed_counts(stream, out, ck, window="1 hour",
+                                delay="31 minutes")
+        q.awaitTermination(120)
+
+        got = {(r["window_start"].hour, r["n_turns"])
+               for r in spark.read.parquet(out).collect()}
+        # W0 = 2: the finalized-window late row was dropped
+        # W1 = 3: the open-window late row merged
+        # W4 (14:00) still open -> absent; nothing emitted twice
+        assert got == {(9, 2), (10, 3), (11, 2), (12, 1)}
+        assert spark.read.parquet(out).count() == 4
+        # the drop is visible in the state-operator metrics
+        dropped = sum(
+            (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+            for p in q.recentProgress if p["stateOperators"]
+        )
+        assert dropped == 1
+
+        # batch parity of the aggregate itself (no watermark in batch
+        # mode): W0 counts its late row too
+        batch = windowed_turn_counts(
+            spark.read.schema("conv_id string, ts timestamp").parquet(inp))
+        bgot = {(r["window_start"].hour, r["n_turns"])
+                for r in batch.collect()}
+        assert bgot == {(9, 3), (10, 3), (11, 2), (12, 1), (14, 1)}
+
     def test_stateful_sessionize_stream(self, spark, tmp_path):
         """applyInPandasWithState gap sessionization: a session row is
         emitted exactly once, when the event-time watermark passes its
