@@ -193,10 +193,20 @@ def test_spark_submit_py_files_zip(spark, tmp_path):
          str(repo / "scripts" / "run_pipeline.py"),
          "--transcripts", f"{root}/tr", "--alias-dict", f"{root}/al",
          "--predicate-dict", f"{root}/pr", "--out", f"{root}/out",
-         "--n-buckets", "4", "--no-canonicalize", "--master", "local[4]"],
+         "--n-buckets", "4", "--no-canonicalize", "--master", "local[4]",
+         # post-run compaction rides the same submit (tiny target so the
+         # multi-task write is guaranteed to need it)
+         "--compact-target-bytes", str(1 << 30)],
         capture_output=True, text=True, timeout=600, cwd=root, env=env,
     )
     assert r.returncode == 0, (r.stderr or "")[-3000:]
+    assert "compacted" in r.stdout, r.stdout[-2000:]
     got = spark.read.parquet(f"{root}/out/triples")
     assert got.count() > 0
     assert {"subj", "pred", "obj"} <= set(got.columns)
+    # compaction left exactly one file per bucket at the huge target
+    import glob as _glob
+
+    for d in _glob.glob(f"{root}/out/triples/part_bucket=*"):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
