@@ -65,3 +65,51 @@ class TestCompaction:
                 assert 1 <= s["files_after"] < s["files_before"]
         # min_files high enough disables everything
         assert compaction_plan(root, min_files=99) == {}
+
+    def test_crash_recovery_and_reader_invisibility(self, spark, tmp_path):
+        """Dot-prefixed temp/backup dirs are invisible to Spark readers,
+        and a crash between the two swap renames (partition parked at
+        .compact_old.*) is rolled back by the next run."""
+        import os
+        import shutil
+
+        from xwikire_spark.sources.compaction import (
+            compact_partitions,
+            read_partitioned,
+        )
+
+        root = self._fragmented_table(spark, str(tmp_path / "t3"))
+        n0 = read_partitioned(spark, root).count()
+        parts = sorted(
+            d for d in os.listdir(root) if d.startswith("part_bucket=")
+        )
+        # simulate the crash window: one partition renamed to its backup
+        victim = parts[0]
+        os.rename(
+            os.path.join(root, victim),
+            os.path.join(root, f".compact_old.{victim}"),
+        )
+        # plus a leftover half-written tmp for another partition
+        shutil.copytree(
+            os.path.join(root, parts[1]),
+            os.path.join(root, f".compact_tmp.{parts[1]}"),
+        )
+        # readers see neither the backup nor the tmp (no double counting,
+        # no bogus partition values) — the victim is absent, not mixed
+        assert read_partitioned(spark, root).count() < n0
+        vals = {
+            r["part_bucket"]
+            for r in read_partitioned(spark, root)
+            .select("part_bucket").distinct().collect()
+        }
+        assert all(isinstance(v, int) for v in vals)
+
+        # next run recovers the victim, clears the stale tmp, compacts
+        stats = compact_partitions(spark, root, target_bytes=1 << 30)
+        assert read_partitioned(spark, root).count() == n0
+        assert not [
+            d for d in os.listdir(root) if d.startswith(".compact_")
+        ]
+        assert {s["partition"] for s in stats} == {
+            p.split("=")[1] for p in parts
+        }

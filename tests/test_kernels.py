@@ -1147,3 +1147,23 @@ class TestCompressedAudio:
         struct.pack_into("<H", blob, i, 0x55)  # MP3-in-WAV tag
         with _pytest.raises(NotImplementedError, match="85"):
             decode_wav(bytes(blob))
+
+
+def test_mp4_bitflipped_sample_count_raises_valueerror():
+    """A COMPLETE (non-truncated) MP4 whose stsz entry count is
+    bit-flipped huge must raise ValueError per the module contract —
+    not struct.error on a short slice, and never a multi-GB allocation."""
+    import struct
+
+    import pytest as _pytest
+
+    from xwikire_spark.kernels.jpegcodec import encode_jpeg
+    from xwikire_spark.kernels.mp4codec import encode_mjpeg_mp4, video_samples
+
+    frames = [encode_jpeg(8, 8, 3, bytes(8 * 8 * 3)) for _ in range(3)]
+    blob = bytearray(encode_mjpeg_mp4(8, 8, frames, fps=5))
+    i = bytes(blob).index(b"stsz")
+    # full box: fourcc + version/flags(4) + sample_size(4) + count(4)
+    struct.pack_into(">I", blob, i + 4 + 4 + 4, 0x7FFFFFFF)
+    with _pytest.raises(ValueError):
+        video_samples(bytes(blob))

@@ -1041,8 +1041,8 @@ class TestIncrementalDedup:
         empty_index = spark.createDataFrame(
             [], "doc_id string, sig array<bigint>"
         )
-        p0, idx0 = incremental_minhash_dedup(f_df, empty_index, f_df)
-        p1, idx1 = incremental_minhash_dedup(all_df, idx0, s_df)
+        p0, idx0, sig0 = incremental_minhash_dedup(f_df, empty_index, f_df)
+        p1, idx1, sig1 = incremental_minhash_dedup(all_df, idx0, s_df)
         got = {(r["doc_a"], r["doc_b"], r["jaccard"])
                for r in p0.collect()} | \
               {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in p1.collect()}
@@ -1062,11 +1062,30 @@ class TestIncrementalDedup:
         empty_index = spark.createDataFrame(
             [], "doc_id string, sig array<bigint>"
         )
-        p0, idx0 = incremental_minhash_dedup(df, empty_index, df)
+        p0, idx0, sig0 = incremental_minhash_dedup(df, empty_index, df)
         n0 = idx0.count()
-        p1, idx1 = incremental_minhash_dedup(df, idx0, df)
+        assert sig0.count() == n0  # first batch: the delta IS the index
+        p1, idx1, sig1 = incremental_minhash_dedup(df, idx0, df)
         assert idx1.count() == n0
         assert p1.count() == 0
+        assert sig1.count() == 0  # nothing fresh -> empty delta
+
+    def test_in_batch_duplicates_collapse(self, spark):
+        """A single micro-batch carrying the same doc twice (at-least-once
+        upstream) must index it once — the anti-join only guards against
+        PRIOR batches, so the operator dedups within the batch too."""
+        from xwikire_spark.operators.dedup import incremental_minhash_dedup
+
+        rows, _ = self._docs()
+        doubled = rows[:6] + rows[:3]  # 3 doc_ids appear twice
+        df = spark.createDataFrame(pd.DataFrame(doubled))
+        corpus = spark.createDataFrame(pd.DataFrame(rows[:6]))
+        empty_index = spark.createDataFrame(
+            [], "doc_id string, sig array<bigint>"
+        )
+        p, idx, sig = incremental_minhash_dedup(corpus, empty_index, df)
+        assert sig.count() == 6
+        assert idx.select("doc_id").distinct().count() == idx.count() == 6
 
     def test_streaming_end_to_end(self, spark, tmp_path):
         """Two file drops through run_incremental_dedup (availableNow x2):

@@ -94,6 +94,19 @@ def _full_box(data: bytes, b: int) -> int:
 
 def _parse_stbl(data: bytes, b: int, e: int) -> dict:
     out: dict = {}
+
+    def counted(p: int, ce: int, entry_bytes: int) -> int:
+        """Read a 32-bit entry count and bound it by the box end — a
+        bit-flipped count in a complete file must raise ValueError (the
+        module's malformed-input contract), not struct.error on a short
+        slice or a multi-GB list allocation."""
+        (count,) = struct.unpack(">I", data[p : p + 4])
+        if p + 4 + entry_bytes * count > ce:
+            raise ValueError(
+                f"MP4 sample-table count {count} exceeds its box"
+            )
+        return count
+
     for fourcc, cb, ce in _boxes(data, b, e):
         p = _full_box(data, cb)
         if fourcc == b"stsd":
@@ -109,7 +122,7 @@ def _parse_stbl(data: bytes, b: int, e: int) -> dict:
                     ">HH", data[entry + 32 : entry + 36]
                 )
         elif fourcc == b"stts":
-            (count,) = struct.unpack(">I", data[p : p + 4])
+            count = counted(p, ce, 8)
             deltas = []
             q = p + 4
             for _ in range(count):
@@ -118,15 +131,18 @@ def _parse_stbl(data: bytes, b: int, e: int) -> dict:
                 q += 8
             out["stts"] = deltas
         elif fourcc == b"stsz":
-            fixed, count = struct.unpack(">II", data[p : p + 8])
+            (fixed,) = struct.unpack(">I", data[p : p + 4])
+            count = counted(p + 4, ce, 0 if fixed else 4)
+            if fixed and count > (1 << 24):
+                raise ValueError(f"MP4 stsz sample count {count} implausible")
             if fixed:
                 out["sizes"] = [fixed] * count
             else:
                 out["sizes"] = list(
                     struct.unpack(f">{count}I", data[p + 8 : p + 8 + 4 * count])
-                )
+                )  # count bounded by the box end above
         elif fourcc == b"stsc":
-            (count,) = struct.unpack(">I", data[p : p + 4])
+            count = counted(p, ce, 12)
             ents = []
             q = p + 4
             for _ in range(count):
@@ -135,12 +151,12 @@ def _parse_stbl(data: bytes, b: int, e: int) -> dict:
                 q += 12
             out["stsc"] = ents
         elif fourcc == b"stco":
-            (count,) = struct.unpack(">I", data[p : p + 4])
+            count = counted(p, ce, 4)
             out["chunks"] = list(
                 struct.unpack(f">{count}I", data[p + 4 : p + 4 + 4 * count])
             )
         elif fourcc == b"co64":
-            (count,) = struct.unpack(">I", data[p : p + 4])
+            count = counted(p, ce, 8)
             out["chunks"] = list(
                 struct.unpack(f">{count}Q", data[p + 4 : p + 4 + 8 * count])
             )

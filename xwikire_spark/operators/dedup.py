@@ -115,21 +115,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, n_bands: int = 8, max_bucket: int = 200
-) -> DataFrame:
-    """Band the signature and join docs sharing any band bucket.
-    Output: doc_a < doc_b candidate pairs (distinct).
-
-    ``max_bucket``: buckets larger than this are dropped before the
-    self-join — a bucket shared by thousands of docs is non-discriminative
-    (boilerplate shingles) and its pair blowup is quadratic; real near-dups
-    collide on *specific* buckets too. This is the standard stop-bucket
-    guard; at web scale it is the difference between a bounded join and a
-    quadratic one on the hottest bucket.
-    """
+def _banded(signatures: DataFrame, n_bands: int) -> DataFrame:
+    """(doc_id, band, band_hash) — one row per signature band. THE single
+    definition of the banding hash: `lsh_candidate_pairs` (batch) and
+    `incremental_minhash_dedup` (streaming) both call this, so the
+    incremental==batch equality can never drift from an edit to one copy
+    of the expression."""
     rows_per_band = F.size("sig") / n_bands
-    banded = signatures.select(
+    return signatures.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -147,6 +140,22 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 8, max_bucket: int = 200
+) -> DataFrame:
+    """Band the signature and join docs sharing any band bucket.
+    Output: doc_a < doc_b candidate pairs (distinct).
+
+    ``max_bucket``: buckets larger than this are dropped before the
+    self-join — a bucket shared by thousands of docs is non-discriminative
+    (boilerplate shingles) and its pair blowup is quadratic; real near-dups
+    collide on *specific* buckets too. This is the standard stop-bucket
+    guard; at web scale it is the difference between a bounded join and a
+    quadratic one on the hottest bucket.
+    """
+    banded = _banded(signatures, n_bands)
     sized = (
         banded.withColumn(
             "bucket_n",
@@ -249,7 +258,8 @@ def incremental_minhash_dedup(
     docs join the EXISTING MinHash signature index instead of re-hashing
     the whole corpus.
 
-    -> (new_pairs, updated_index).
+    -> (new_pairs, updated_index, new_signatures) — callers persisting the
+    append-only index write ``new_signatures`` (the delta), not the union.
 
     Contract: ``batch P0 then incremental P1`` equals the full-batch pair
     set — P0 ∪ P1 == near_duplicates_minhash(all docs) — because:
@@ -279,49 +289,42 @@ def incremental_minhash_dedup(
     exactly the streaming-friendly shape; nothing about the old corpus is
     recomputed.
     """
-    fresh = new_docs.join(
+    # within-batch dedup FIRST: at-least-once delivery can carry the same
+    # doc twice inside one micro-batch, and the anti-join below only sees
+    # the PRIOR index — without this the index would hold duplicate
+    # signatures forever
+    fresh = new_docs.dropDuplicates(["doc_id"]).join(
         index.select("doc_id").distinct(), "doc_id", "left_anti"
     )
     new_sigs = minhash_signatures(fresh, text_col, n_hashes, k=k)
     updated = index.unionByName(new_sigs)
 
-    rows_per_band = F.size("sig") / n_bands
-
-    def banded(sigs: DataFrame) -> DataFrame:
-        return sigs.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                    lambda b: F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.slice(
-                                F.col("sig"),
-                                (b * rows_per_band + 1).cast("int"),
-                                rows_per_band.cast("int"),
-                            ),
-                        )
-                    ),
-                )
-            ).alias("band", "band_hash"),
-        )
-
-    all_banded = banded(updated)
-    # stop-bucket guard over the UNION population — the same statistic the
-    # full batch computes, so incremental == batch by construction
-    guarded = (
-        all_banded.withColumn(
-            "bucket_n",
-            F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash")),
-        )
-        .where(F.col("bucket_n") <= max_bucket)
-        .drop("bucket_n")
-    )
+    all_banded = _banded(updated, n_bands)
     new_ids = new_sigs.select("doc_id")
-    new_banded = guarded.join(F.broadcast(new_ids), "doc_id")
-    a = guarded.alias("a")
-    b = new_banded.alias("b")
+    new_banded = all_banded.join(F.broadcast(new_ids), "doc_id")
+    # Stop-bucket guard over the UNION population, computed ONLY for the
+    # buckets a new doc touches: pairs can only come from touched buckets,
+    # so the statistic is identical to the full-batch window count there —
+    # but the old full-index count-window shuffled EVERY banded row per
+    # micro-batch. Now the touched-bucket filter broadcasts (bounded by
+    # new docs x bands) and only matching index rows reach the aggregate;
+    # the index is still scanned once per batch (the irreducible cost
+    # without a persisted per-bucket count table).
+    touched = new_banded.select("band", "band_hash").distinct()
+    touched_rows = all_banded.join(
+        F.broadcast(touched), ["band", "band_hash"]
+    )
+    ok_buckets = (
+        touched_rows.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") <= max_bucket)
+        .select("band", "band_hash")
+    )
+    a = touched_rows.join(F.broadcast(ok_buckets), ["band", "band_hash"])
+    b = new_banded.join(
+        F.broadcast(ok_buckets), ["band", "band_hash"]
+    ).alias("b")
+    a = a.alias("a")
     cands = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("a.doc_id") != F.col("b.doc_id"))
@@ -332,7 +335,7 @@ def incremental_minhash_dedup(
         .distinct()
     )
     pairs = jaccard_verify(corpus, cands, text_col, threshold, shingle_k=k)
-    return pairs, updated
+    return pairs, updated, new_sigs
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -212,16 +212,18 @@ def sample_video_frames(
                     last_ms = (
                         track.samples[-1][0] * 1000 // track.timescale
                     )
-                    seen = set()
+                    sliced: dict[int, bytes] = {}
                     for ms in range(0, last_ms + 1, every_ms):
                         i = track.sample_at_ms(ms)
                         mids.append(mid)
                         ts.append(ms)
                         idxs.append(i)
-                        # slice once per distinct frame; repeats are cheap
-                        blobs.append(frame_bytes(b, track, i))
+                        # slice once per distinct frame: a low-fps video
+                        # sampled at fine every_ms repeats frame indices
+                        if i not in sliced:
+                            sliced[i] = frame_bytes(b, track, i)
+                        blobs.append(sliced[i])
                         errs.append(None)
-                        seen.add(i)
                 except Exception as e:
                     mids.append(mid)
                     ts.append(None)

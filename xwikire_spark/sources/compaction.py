@@ -26,10 +26,14 @@ Design:
   retry/resume at partition granularity, like every other unit of work
   in this pipeline.
 - **Swap, don't overwrite in place**: each partition compacts into a
-  sibling temp dir, then two directory renames swap it in — readers
-  never see a half-written partition, and a crash leaves either the old
-  or the new complete set (the rename is the commit point, same
-  contract as a manifest append).
+  DOT-PREFIXED sibling temp dir (Spark's file index ignores paths whose
+  name starts with '.' or '_', so a concurrent reader never sees the
+  half-written rewrite or a bogus `part_bucket=0.tmp` partition value),
+  then two directory renames swap it in. POSIX can't exchange two
+  directories atomically, so a crash exactly between the renames leaves
+  the partition parked at its dot-prefixed backup — invisible to
+  readers (absent, not duplicated) and restored automatically by the
+  next `compact_partitions` run (recovery step below).
 - Row fidelity is the caller-checkable invariant: `partition_hash`
   computes an order-insensitive bit_xor row hash usable before/after.
 """
@@ -92,6 +96,22 @@ def partition_hash(spark: SparkSession, path: str) -> int:
     return row["h"] if row["h"] is not None else 0
 
 
+def _recover_interrupted(path: str, partition_col: str) -> None:
+    """Restore partitions parked at their dot-prefixed backup by a crash
+    exactly between the two swap renames (the partition dir is absent in
+    that window, never half-written)."""
+    prefix = f".compact_old.{partition_col}="
+    for name in os.listdir(path):
+        if not name.startswith(prefix):
+            continue
+        old = os.path.join(path, name)
+        src = os.path.join(path, f"{partition_col}={name[len(prefix):]}")
+        if os.path.exists(src):
+            shutil.rmtree(old)  # swap completed; backup is stale
+        else:
+            os.rename(old, src)  # crash between renames: roll back
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -105,14 +125,19 @@ def compact_partitions(
     Returns per-partition stats:
     ``[{partition, files_before, files_after, bytes}, ...]``.
     """
+    _recover_interrupted(path, partition_col)
     plan = compaction_plan(path, partition_col, target_bytes, min_files)
     before = _list_partitions(path, partition_col)
 
     def one(item: tuple[str, int]) -> dict:
         pval, n_out = item
         src = os.path.join(path, f"{partition_col}={pval}")
-        tmp = src + ".compact_tmp"
-        old = src + ".compact_old"
+        # dot-prefixed siblings: invisible to Spark partition discovery,
+        # to _list_partitions, and to readers of the table root
+        tmp = os.path.join(path, f".compact_tmp.{partition_col}={pval}")
+        old = os.path.join(path, f".compact_old.{partition_col}={pval}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # leftover from an interrupted rewrite
         nbytes = sum(os.path.getsize(f) for f in before[pval])
         # coalesce, not repartition: compaction must not shuffle — it
         # only concatenates co-located files

@@ -110,11 +110,19 @@ def run_incremental_dedup(
     2. ``incremental_minhash_dedup``: anti-join known doc_ids, hash only
        the new docs, band-join new bands against the full index, verify
        exactly against the corpus read from ``input_dir``;
-    3. append new signatures to ``index_dir`` and new pairs to
-       ``pairs_dir``.
-    The streaming checkpoint makes file delivery exactly-once; the
-    anti-join makes re-delivered docs idempotent, so the index stays
-    duplicate-free across restarts.
+    3. write the batch's pairs (partitioned by batch_id, dynamic
+       overwrite), THEN append the new signatures to ``index_dir``.
+
+    Crash-safety of that write order (the checkpoint only commits after
+    both): pairs land keyed by batch_id with partition overwrite, so a
+    retry rewrites the same partition instead of duplicating it; the
+    index append comes LAST because the reverse order loses data — if
+    the index gained the batch's docs and the job died before the pairs
+    write, the retry's anti-join would see every doc as known, emit zero
+    pairs, and commit (those pairs would never be produced again, since
+    old-old pairs are only emitted when their younger side arrives).
+    With pairs-first, the worst crash duplicates no pairs and a retry
+    re-hashes one batch.
     """
     from pyspark.sql import functions as F
 
@@ -130,20 +138,16 @@ def run_incremental_dedup(
             index = s.createDataFrame([], sig_schema)
         corpus = s.read.schema(docs_schema).parquet(input_dir)
         new_docs = batch_df.select("doc_id", "text")
-        pairs, _updated = incremental_minhash_dedup(
+        pairs, _updated, new_sigs = incremental_minhash_dedup(
             corpus, index, new_docs, threshold=threshold
         )
-        # persist ONLY the new signatures (append-only index): recompute
-        # the fresh set the same way the operator did
-        fresh = new_docs.join(
-            index.select("doc_id").distinct(), "doc_id", "left_anti"
-        )
-        from xwikire_spark.operators.dedup import minhash_signatures
-
-        minhash_signatures(fresh).write.mode("append").parquet(index_dir)
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(pairs_dir)
+            "overwrite"
+        ).partitionBy("batch_id").parquet(pairs_dir)
+        # the operator already computed the delta — persist it, don't
+        # re-derive fresh and re-hash the batch a second time
+        new_sigs.write.mode("append").parquet(index_dir)
 
     stream = (
         spark.readStream.schema(docs_schema)
