@@ -74,3 +74,79 @@ def materialize_graph(
         os.path.join(out_dir, "vertices")
     )
     return edges, spark.read.parquet(os.path.join(out_dir, "vertices"))
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the entity graph -> (id, rank),
+    normalized so ranks sum to N (rank 1.0 = average importance) — the
+    entity-salience score KG serving layers sort by.
+
+    Inputs: ``edges(src, dst)`` directed (use the triples' (subj, obj)
+    projection); ``vertices(id)`` optional — derived from the edges when
+    omitted (isolated vertices then need the explicit frame).
+
+    Plan shape per iteration (the 100 TB view):
+    - contributions = edges ⋈ ranks on src, partial-sum map-side, one
+      hash-aggregate shuffle keyed by dst — hot entities (high in-degree)
+      are handled by the partial aggregate, not a skewed join, because
+      sum is associative;
+    - the dangling-mass scalar rides a broadcast 1-row crossJoin (no
+      driver round-trip inside the loop);
+    - ranks localCheckpoint() per iteration: truncates the lineage so
+      iteration i+1's plan doesn't replay iterations 0..i (same pattern
+      as connected_components).
+    Fixed n_iter (deterministic, testable) rather than a convergence
+    probe: rank deltas shrink geometrically at rate ``damping``, so
+    10-20 iterations give per-vertex error < damping^n — the standard
+    production choice.
+    """
+    e = edges.select("src", "dst")
+    if vertices is None:
+        vertices = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    v = vertices.select("id").localCheckpoint()
+    n = v.count()
+    if n == 0:
+        return v.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # edges pre-joined with out-degree ONCE (reused every iteration)
+    ew = e.join(out_deg, "src").localCheckpoint()
+
+    ranks = v.select("id", F.lit(1.0).alias("rank")).localCheckpoint()
+    for _ in range(n_iter):
+        msgs = (
+            ew.join(ranks, ew.src == ranks.id)
+            .select(F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("out_deg")).alias("m"))
+            .groupBy("id")
+            .agg(F.sum("m").alias("msg"))
+        )
+        # dangling vertices (no out-edges) leak their rank: redistribute
+        # it uniformly, as a broadcast 1-row scalar
+        dangling = (
+            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            v.join(msgs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("msg"), F.lit(0.0))
+                       + F.col("dang") / F.lit(float(n)))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
