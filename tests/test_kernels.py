@@ -1167,3 +1167,20 @@ def test_mp4_bitflipped_sample_count_raises_valueerror():
     struct.pack_into(">I", blob, i + 4 + 4 + 4, 0x7FFFFFFF)
     with _pytest.raises(ValueError):
         video_samples(bytes(blob))
+
+
+def test_mp4_minimal_full_box_raises_valueerror():
+    """ADVICE r4 (low): a COMPLETE file carrying a minimal full box
+    (size 8-11 — payload ends before the 4-byte count/size field) must
+    raise ValueError per the module contract, not struct.error from a
+    short slice."""
+    import struct
+
+    import pytest as _pytest
+
+    from xwikire_spark.kernels.mp4codec import _parse_stbl
+
+    for fourcc in (b"stts", b"stsz", b"stsd", b"stco"):
+        tiny = struct.pack(">I", 12) + fourcc + b"\x00" * 4  # ver/flags only
+        with _pytest.raises(ValueError, match="too small"):
+            _parse_stbl(tiny, 0, len(tiny))

@@ -870,6 +870,34 @@ class TestVideoFrames:
             "err IS NULL").collect()
         assert [r["media_id"] for r in ok] == ["vid1"]
 
+    def test_inflated_timeline_quarantined_not_hung(self, spark):
+        """ADVICE r4 (medium): a crafted-but-structurally-valid MP4 with a
+        ~2^32 stts delta at timescale=1 implies a ~4e12 ms timeline — the
+        sampling loop must raise into the err quarantine, not iterate
+        billions of times."""
+        import struct
+
+        from xwikire_spark.kernels.jpegcodec import encode_jpeg
+        from xwikire_spark.kernels.mp4codec import encode_mjpeg_mp4
+        from xwikire_spark.operators.multimodal import sample_video_frames
+
+        frames = [encode_jpeg(2, 2, 3, bytes(12)) for _ in range(3)]
+        blob = bytearray(encode_mjpeg_mp4(2, 2, frames, fps=1))
+        raw = bytes(blob)
+        # mdhd timescale -> 1 (payload: ver/flags 4 + ctime 4 + mtime 4)
+        i = raw.index(b"mdhd") + 4 + 4 + 8
+        struct.pack_into(">I", blob, i, 1)
+        # stts sole entry delta -> 0xFFFFFFFF (payload: ver/flags 4 +
+        # count 4 + sample_count 4 + delta 4)
+        j = raw.index(b"stts") + 4 + 4 + 4 + 4
+        struct.pack_into(">I", blob, j, 0xFFFFFFFF)
+        got = sample_video_frames(
+            self._media(spark, bytes(blob)), every_ms=1000, fake=False
+        ).collect()
+        assert len(got) == 1
+        assert got[0]["frame"] is None
+        assert "max_frames" in got[0]["err"]
+
     def test_fake_path_cadence(self, spark):
         from xwikire_spark.operators.multimodal import sample_video_frames
 

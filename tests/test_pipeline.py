@@ -517,6 +517,22 @@ class TestPageRank:
         min_rank = got["g"]
         assert all(r >= min_rank - 1e-12 for r in got.values())
 
+    def test_incomplete_vertices_raise(self, spark):
+        """ADVICE r4 (low): a supplied vertices frame missing an edge
+        endpoint would silently leak rank mass (left-join drop) — it must
+        raise instead of violating the ranks-sum-to-N invariant."""
+        import pandas as pd
+        import pytest as _pytest
+
+        from xwikire_spark.pipeline.graph import pagerank
+
+        e = spark.createDataFrame(
+            pd.DataFrame(self.EDGES, columns=["src", "dst"])
+        )
+        v = spark.createDataFrame(pd.DataFrame({"id": list("abcde")}))  # no f
+        with _pytest.raises(ValueError, match="superset"):
+            pagerank(e, vertices=v)
+
     def test_uniform_on_cycle_and_derived_vertices(self, spark):
         import pandas as pd
 

@@ -95,12 +95,21 @@ def _full_box(data: bytes, b: int) -> int:
 def _parse_stbl(data: bytes, b: int, e: int) -> dict:
     out: dict = {}
 
+    def u32(p: int, ce: int) -> int:
+        """Bounded fixed-header read: a complete file carrying a minimal
+        full box (size 8-11, payload ends before the 4-byte field) must
+        raise ValueError (the module's malformed-input contract), not
+        struct.error from a short slice."""
+        if p + 4 > ce:
+            raise ValueError("MP4 box too small for its header")
+        return struct.unpack(">I", data[p : p + 4])[0]
+
     def counted(p: int, ce: int, entry_bytes: int) -> int:
         """Read a 32-bit entry count and bound it by the box end — a
         bit-flipped count in a complete file must raise ValueError (the
         module's malformed-input contract), not struct.error on a short
         slice or a multi-GB list allocation."""
-        (count,) = struct.unpack(">I", data[p : p + 4])
+        count = u32(p, ce)
         if p + 4 + entry_bytes * count > ce:
             raise ValueError(
                 f"MP4 sample-table count {count} exceeds its box"
@@ -110,11 +119,13 @@ def _parse_stbl(data: bytes, b: int, e: int) -> dict:
     for fourcc, cb, ce in _boxes(data, b, e):
         p = _full_box(data, cb)
         if fourcc == b"stsd":
-            (count,) = struct.unpack(">I", data[p : p + 4])
+            count = u32(p, ce)
             if count < 1:
                 raise ValueError("MP4 stsd with no entries")
             entry = p + 4
-            (esize,) = struct.unpack(">I", data[entry : entry + 4])
+            if entry + 8 > ce:
+                raise ValueError("MP4 box too small for its header")
+            esize = u32(entry, ce)
             out["fourcc"] = data[entry + 4 : entry + 8]
             if esize >= 36 and entry + 36 <= ce:
                 # VisualSampleEntry: 6 reserved + data_ref(2) + 16 pre/res
@@ -131,7 +142,7 @@ def _parse_stbl(data: bytes, b: int, e: int) -> dict:
                 q += 8
             out["stts"] = deltas
         elif fourcc == b"stsz":
-            (fixed,) = struct.unpack(">I", data[p : p + 4])
+            fixed = u32(p, ce)
             count = counted(p + 4, ce, 0 if fixed else 4)
             if fixed and count > (1 << 24):
                 raise ValueError(f"MP4 stsz sample count {count} implausible")

@@ -253,7 +253,7 @@ def incremental_minhash_dedup(
     threshold: float = 0.8,
     k: int = 3,
     max_bucket: int = 200,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental corpus dedup (VERDICT r3 next-round #7): newly-arrived
     docs join the EXISTING MinHash signature index instead of re-hashing
     the whole corpus.

@@ -155,7 +155,10 @@ FRAMES_SCHEMA = (
 
 
 def sample_video_frames(
-    media: DataFrame, every_ms: int = 1000, fake: bool = True
+    media: DataFrame,
+    every_ms: int = 1000,
+    fake: bool = True,
+    max_frames: int = 100_000,
 ) -> DataFrame:
     """Video -> sampled frame rows (FRAMES_SCHEMA): the REAL counterpart of
     ``frame_sample_plan``.
@@ -178,6 +181,15 @@ def sample_video_frames(
 
     ``fake=True`` keeps the deterministic no-codec path (sha1-derived
     frame bytes at the metadata duration's cadence) for plumbing tests.
+
+    ``max_frames`` bounds the sampled timeline per video: the timeline
+    length derives from untrusted stts deltas (u32) x mdhd timescale, so a
+    crafted-but-structurally-valid MP4 (one stts delta ~2^32 at
+    timescale=1) would otherwise drive billions of loop iterations and
+    unbounded list growth — a hang/OOM instead of a quarantined row. A
+    video exceeding the bound raises inside the try and lands in the err
+    column like any other malformed payload (the F5 contract), mirroring
+    the count bounds inside mp4codec itself.
     """
     from pyspark.sql import functions as F
 
@@ -212,6 +224,11 @@ def sample_video_frames(
                     last_ms = (
                         track.samples[-1][0] * 1000 // track.timescale
                     )
+                    if last_ms // every_ms + 1 > max_frames:
+                        raise ValueError(
+                            f"sampled timeline {last_ms} ms at {every_ms} ms"
+                            f" cadence exceeds max_frames={max_frames}"
+                        )
                     sliced: dict[int, bytes] = {}
                     for ms in range(0, last_ms + 1, every_ms):
                         i = track.sample_at_ms(ms)

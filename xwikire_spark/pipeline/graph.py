@@ -88,7 +88,13 @@ def pagerank(
 
     Inputs: ``edges(src, dst)`` directed (use the triples' (subj, obj)
     projection); ``vertices(id)`` optional — derived from the edges when
-    omitted (isolated vertices then need the explicit frame).
+    omitted (isolated vertices then need the explicit frame). A supplied
+    ``vertices`` MUST be a superset of the edge endpoints — otherwise the
+    ranks-sum-to-N invariant silently breaks (contributions to a dst not
+    in vertices drop in the left join, and an out-of-vertex src absorbs
+    shares without redistributing) — so the frame is validated up front
+    and missing endpoints raise ValueError (one extra count job before
+    the loop; negligible next to n_iter iterations).
 
     Plan shape per iteration (the 100 TB view):
     - contributions = edges ⋈ ranks on src, partial-sum map-side, one
@@ -106,12 +112,23 @@ def pagerank(
     production choice.
     """
     e = edges.select("src", "dst")
+    endpoints = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
     if vertices is None:
-        vertices = (
-            e.select(F.col("src").alias("id"))
-            .unionByName(e.select(F.col("dst").alias("id")))
-            .distinct()
-        )
+        vertices = endpoints
+    else:
+        missing = endpoints.join(
+            vertices.select("id"), "id", "left_anti"
+        ).count()
+        if missing:
+            raise ValueError(
+                f"pagerank: {missing} edge endpoint(s) absent from the"
+                " supplied vertices frame; vertices must be a superset of"
+                " edge endpoints or rank mass leaks every iteration"
+            )
     v = vertices.select("id").localCheckpoint()
     n = v.count()
     if n == 0:

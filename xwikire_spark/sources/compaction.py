@@ -148,8 +148,10 @@ def compact_partitions(
         for f in os.listdir(tmp):
             if not f.endswith(".parquet"):
                 os.remove(os.path.join(tmp, f))
-        os.rename(src, old)      # commit point: two renames, no window
-        os.rename(tmp, src)      # where the partition is absent
+        os.rename(src, old)      # swap: a crash between these two renames
+        os.rename(tmp, src)      # parks the partition at its dot-prefixed
+        # backup (absent to readers, never half-written) until
+        # _recover_interrupted rolls it back on the next run
         shutil.rmtree(old)
         return {
             "partition": pval,
