@@ -487,6 +487,116 @@ class TestImageCodec:
         got = decode_png(blob)
         assert got == (w, h, ch, px)
 
+    def test_png_palette_round_trip(self):
+        """Color-type-3 PLTE decode (VERDICT r4 #7): RGB pixels survive
+        the palette indirection exactly; tRNS promotes output to RGBA
+        with per-entry alpha (absent entries opaque)."""
+        from xwikire_spark.kernels.imagecodec import (
+            decode_png,
+            encode_png_palette,
+        )
+
+        px = self._checker(7, 5, 3)
+        assert decode_png(encode_png_palette(7, 5, px)) == (7, 5, 3, px)
+
+        trns = {(255, 0, 0): 7}  # the (x+y)-even checker color
+        w, h, c, got = decode_png(encode_png_palette(7, 5, px, trns=trns))
+        assert (w, h, c) == (7, 5, 4)
+        for i in range(7 * 5):
+            rgb = tuple(px[i * 3 : i * 3 + 3])
+            assert tuple(got[i * 4 : i * 4 + 3]) == rgb
+            assert got[i * 4 + 3] == trns.get(rgb, 255)
+
+    def test_png_adam7_round_trip(self):
+        """Adam7 interlace round-trips for every color type, including
+        dimensions that leave some passes empty (w or h < pass origin)."""
+        from xwikire_spark.kernels.imagecodec import (
+            decode_png,
+            encode_png,
+            encode_png_palette,
+        )
+
+        for w, h in [(8, 8), (7, 5), (3, 3), (1, 1), (2, 9)]:
+            for ch in (1, 2, 3, 4):
+                px = self._checker(w, h, ch)
+                got = decode_png(encode_png(w, h, ch, px, interlace=True))
+                assert got == (w, h, ch, px), (w, h, ch)
+            px3 = self._checker(w, h, 3)
+            got = decode_png(encode_png_palette(w, h, px3, interlace=True))
+            assert got == (w, h, 3, px3), (w, h, "palette")
+
+    def test_png_adam7_pass_geometry_matches_spec(self):
+        """External validity for the Adam7 scatter: a hand-built 8x8
+        grayscale interlaced PNG whose pass-p samples all equal p must
+        decode to the canonical pass-assignment diagram published in the
+        PNG spec."""
+        import struct
+        import zlib
+
+        from xwikire_spark.kernels.imagecodec import decode_png
+
+        # (pass_w, pass_h) for 8x8: the seven sub-images
+        dims = [(1, 1), (1, 1), (2, 1), (2, 2), (4, 2), (4, 4), (8, 4)]
+        raw = bytearray()
+        for p, (pw, ph) in enumerate(dims, start=1):
+            for _ in range(ph):
+                raw.append(0)  # filter None
+                raw.extend([p] * pw)
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        blob = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+        w, h, c, got = decode_png(blob)
+        assert (w, h, c) == (8, 8, 1)
+        spec = [
+            1, 6, 4, 6, 2, 6, 4, 6,
+            7, 7, 7, 7, 7, 7, 7, 7,
+            5, 6, 5, 6, 5, 6, 5, 6,
+            7, 7, 7, 7, 7, 7, 7, 7,
+            3, 6, 4, 6, 3, 6, 4, 6,
+            7, 7, 7, 7, 7, 7, 7, 7,
+            5, 6, 5, 6, 5, 6, 5, 6,
+            7, 7, 7, 7, 7, 7, 7, 7,
+        ]
+        assert list(got) == spec
+
+    def test_png_palette_malformed(self):
+        """Module contract: palette without PLTE and out-of-range indexes
+        raise ValueError, not IndexError/garbage pixels."""
+        import pytest as _pytest
+
+        from xwikire_spark.kernels.imagecodec import (
+            decode_png,
+            encode_png_palette,
+        )
+
+        blob = encode_png_palette(4, 3, self._checker(4, 3, 3))
+        i = blob.index(b"PLTE")
+        no_plte = blob[: i - 4] + blob[i - 4:].replace(b"PLTE", b"pLTe", 1)
+        with _pytest.raises(ValueError, match="PLTE"):
+            decode_png(no_plte)
+
+        import struct
+        import zlib
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        # 1x1 image, 1-entry palette, but the sole index is 5
+        bad = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+               + chunk(b"PLTE", b"\x01\x02\x03")
+               + chunk(b"IDAT", zlib.compress(b"\x00\x05"))
+               + chunk(b"IEND", b""))
+        with _pytest.raises(ValueError, match="palette index"):
+            decode_png(bad)
+
     def test_ppm_round_trip_with_comment(self):
         from xwikire_spark.kernels.imagecodec import decode_ppm, encode_ppm
 
@@ -753,12 +863,60 @@ class TestWavCodec:
         # float32 passthrough
         _, _, x = decode_wav(wav(3, 32, struct.pack("<2f", 0.25, -0.75)))
         assert abs(x[0, 0] - 0.25) < 1e-7 and abs(x[1, 0] + 0.75) < 1e-7
-        # still-unsupported compressed formats raise (mu-law/A-law/IMA
-        # are real now — TestCompressedAudio; MS-ADPCM 0x02 is not)
+        # still-unsupported compressed formats raise (mu-law/A-law/IMA/MS
+        # are real now — TestCompressedAudio)
         import pytest as _pytest
 
         with _pytest.raises(NotImplementedError):
-            decode_wav(wav(0x02, 4, b"\x00\x00"))  # MS-ADPCM
+            decode_wav(wav(0x50, 16, b"\x00\x00"))  # MPEG-in-WAV
+
+    def test_ms_adpcm_round_trip(self):
+        """MS ADPCM (format 0x02, VERDICT r4 #6): encode->decode SNR gate
+        like IMA's, mono + stereo + non-block-aligned tail; predictor
+        indexes and the coefficient table ride the fmt extra bytes."""
+        import numpy as np
+
+        from xwikire_spark.kernels.wavcodec import decode_wav, encode_wav_ms
+
+        t = np.arange(1900) / 8000  # 1900 % 500 != 0 -> padded tail block
+        sig = 0.6 * np.sin(2 * np.pi * 440 * t) \
+            + 0.2 * np.sin(2 * np.pi * 97 * t)
+        rate, n_ch, x = decode_wav(encode_wav_ms(8000, sig))
+        assert (rate, n_ch) == (8000, 1)
+        assert x.shape[0] >= len(sig)  # tail block zero-padded, never cut
+        err = x[: len(sig), 0] - sig
+        assert float(np.sqrt(np.mean(err ** 2))) < 0.03
+        assert np.max(np.abs(x[len(sig):, 0])) < 0.05  # pad decodes ~0
+
+        st = np.stack([sig, np.roll(sig, 100)], axis=1)
+        r2, c2, x2 = decode_wav(encode_wav_ms(8000, st))
+        assert c2 == 2
+        e2 = x2[: len(sig)] - st
+        assert float(np.sqrt(np.mean(e2 ** 2))) < 0.03
+
+    def test_ms_adpcm_malformed(self):
+        """Malformed MS ADPCM surfaces as ValueError (module contract):
+        out-of-range predictor index, truncated coefficient table."""
+        import struct
+
+        import numpy as np
+        import pytest as _pytest
+
+        from xwikire_spark.kernels.wavcodec import decode_wav, encode_wav_ms
+
+        blob = bytearray(encode_wav_ms(8000, np.zeros(500)))
+        raw = bytes(blob)
+        # first data block's predictor byte -> 200 (> 7 coef entries)
+        d = raw.index(b"data") + 8
+        blob[d] = 200
+        with _pytest.raises(ValueError, match="predictor"):
+            decode_wav(bytes(blob))
+        # fmt claims more coef pairs than the extra bytes carry
+        blob2 = bytearray(raw)
+        i = raw.index(b"fmt ") + 8 + 20  # num_coef field
+        struct.pack_into("<H", blob2, i, 99)
+        with _pytest.raises(ValueError, match="coefficient"):
+            decode_wav(bytes(blob2))
 
     def test_extra_chunks_and_odd_padding(self):
         import struct

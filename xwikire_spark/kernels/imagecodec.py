@@ -12,7 +12,8 @@ production; the Spark-side plumbing is format-agnostic). MJPEG-in-MP4
 frame extraction is real via kernels/mp4codec.py + decode_jpeg.
 
 Scope (deliberately small, fully tested): 8-bit depth; PNG color types
-0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); no interlace, no palette.
+0 (gray), 2 (RGB), 3 (palette via PLTE, opaque or tRNS-alpha), 4
+(gray+alpha), 6 (RGBA); Adam7 interlace for every supported color type.
 Decoded form: (width, height, channels, pixels) with ``pixels`` a flat
 ``bytearray`` of row-major samples — cheap to slice into Arrow buffers and
 dependency-free.
@@ -51,37 +52,16 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
-    """-> (width, height, channels, flat row-major samples)."""
-    if not payload.startswith(_PNG_SIG):
-        raise ValueError("not a PNG")
-    pos = len(_PNG_SIG)
-    width = height = None
-    channels = 0
-    idat = bytearray()
-    while pos < len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth}")
-            if color not in _CHANNELS:
-                raise NotImplementedError(f"PNG color type {color}")
-            if interlace:
-                raise NotImplementedError("interlaced PNG")
-            channels = _CHANNELS[color]
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass — the published PNG
+# interlace grid (each pass is an independently-filtered sub-image)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(raw: bytes, width: int, height: int, channels: int) -> bytearray:
+    """Reverse per-scanline filters 0-4 over one (sub-)image."""
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG size mismatch")
@@ -119,34 +99,189 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
                 out[o + i] = (v + _paeth(left, up, ul)) & 0xFF
         else:
             raise ValueError(f"PNG filter {fbyte}")
+    return out
+
+
+def _pass_dims(width: int, height: int, p: int) -> tuple[int, int]:
+    x0, y0, dx, dy = _ADAM7[p]
+    return max(0, (width - x0 + dx - 1) // dx), \
+        max(0, (height - y0 + dy - 1) // dy)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """-> (width, height, channels, flat row-major samples)."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    width = height = None
+    channels = 0
+    color = interlace = 0
+    idat = bytearray()
+    plte: bytes | None = None
+    trns: bytes | None = None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth}")
+            if color != 3 and color not in _CHANNELS:
+                raise NotImplementedError(f"PNG color type {color}")
+            if interlace > 1:
+                raise ValueError(f"PNG interlace method {interlace}")
+            channels = 1 if color == 3 else _CHANNELS[color]
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if not interlace:
+        out = _unfilter(raw, width, height, channels)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        out = bytearray(width * height * channels)
+        off = 0
+        for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            pw, ph = _pass_dims(width, height, p)
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no scanlines at all
+            sub_len = (pw * channels + 1) * ph
+            sub = _unfilter(raw[off : off + sub_len], pw, ph, channels)
+            off += sub_len
+            for sy in range(ph):
+                y = y0 + sy * dy
+                for sx in range(pw):
+                    d = (y * width + (x0 + sx * dx)) * channels
+                    s = (sy * pw + sx) * channels
+                    out[d : d + channels] = sub[s : s + channels]
+        if off != len(raw):
+            raise ValueError("PNG size mismatch")
+    if color == 3:  # palette expansion (tRNS present -> RGBA, else RGB)
+        if plte is None:
+            raise ValueError("PNG color type 3 missing PLTE")
+        n_pal = len(plte) // 3
+        och = 4 if trns is not None else 3
+        alpha = trns or b""
+        rgb = bytearray(width * height * och)
+        for i, idx in enumerate(out):
+            if idx >= n_pal:
+                raise ValueError("PNG palette index out of range")
+            d = i * och
+            rgb[d : d + 3] = plte[idx * 3 : idx * 3 + 3]
+            if och == 4:
+                rgb[d + 3] = alpha[idx] if idx < len(alpha) else 255
+        return width, height, och, rgb
     return width, height, channels, out
 
 
-def encode_png(
-    width: int, height: int, channels: int, pixels: bytes | bytearray
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_scanlines(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes | bytearray,
+    interlace: bool,
 ) -> bytes:
-    """Filter-0 PNG encoder (valid, unoptimized)."""
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    """Filter-0 scanline stream: sequential, or the 7 Adam7 sub-images
+    (each pass gathered from the full image, empty passes omitted)."""
     stride = width * channels
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
     raw = bytearray()
-    for y in range(height):
-        raw.append(0)
-        raw.extend(pixels[y * stride : (y + 1) * stride])
+    if not interlace:
+        for y in range(height):
+            raw.append(0)
+            raw.extend(pixels[y * stride : (y + 1) * stride])
+        return bytes(raw)
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        pw, ph = _pass_dims(width, height, p)
+        if pw == 0 or ph == 0:
+            continue
+        for sy in range(ph):
+            raw.append(0)
+            y = y0 + sy * dy
+            for sx in range(pw):
+                s = (y * width + (x0 + sx * dx)) * channels
+                raw.extend(pixels[s : s + channels])
+    return bytes(raw)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes | bytearray,
+    interlace: bool = False,
+) -> bytes:
+    """Filter-0 PNG encoder (valid, unoptimized); optional Adam7."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color, 0, 0, 1 if interlace else 0
+    )
+    raw = _png_scanlines(width, height, channels, pixels, interlace)
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    width: int,
+    height: int,
+    pixels: bytes | bytearray,
+    interlace: bool = False,
+    trns: dict[tuple[int, int, int], int] | None = None,
+) -> bytes:
+    """Color-type-3 PNG writer from RGB pixels (<=256 distinct colors;
+    test-vector source for the PLTE/tRNS/Adam7 decode paths). ``trns``
+    optionally maps an RGB color to its alpha (a tRNS chunk is emitted
+    covering entries up to the last non-opaque one)."""
+    colors: dict[bytes, int] = {}
+    idx = bytearray()
+    for i in range(width * height):
+        c = bytes(pixels[i * 3 : i * 3 + 3])
+        if c not in colors:
+            if len(colors) == 256:
+                raise ValueError("palette PNG needs <=256 distinct colors")
+            colors[c] = len(colors)
+        idx.append(colors[c])
+    plte = b"".join(colors)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 3, 0, 0, 1 if interlace else 0
+    )
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte)
+    if trns:
+        alphas = [
+            trns.get(tuple(c), 255) for c in colors  # keyed by RGB tuple
+        ]
+        while alphas and alphas[-1] == 255:
+            alphas.pop()  # tRNS may be shorter than PLTE; tail is opaque
+        out += _png_chunk(b"tRNS", bytes(alphas))
+    raw = _png_scanlines(width, height, 1, idx, interlace)
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 

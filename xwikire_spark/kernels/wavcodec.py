@@ -4,8 +4,10 @@ gap the same way imagecodec/jpegcodec closed images.
 
 Scope (bounded, fully tested): integer PCM 8/16/24/32-bit, IEEE float32,
 G.711 mu-law (format 7) and A-law (format 6) — both bijective per code,
-gated by an all-256-codes round-trip identity — and IMA/DVI ADPCM (format
-0x11, mono + stereo block de-interleave), gated by encode->decode SNR.
+gated by an all-256-codes round-trip identity — IMA/DVI ADPCM (format
+0x11, mono + stereo block de-interleave) and MS ADPCM (format 0x02,
+predictor-coefficient table + per-block header), both gated by
+encode->decode SNR.
 Any channel count, WAVE_FORMAT_EXTENSIBLE unwrapped, chunk walker
 tolerant of extra chunks (LIST/fact/cue) and odd-size padding. Remaining
 compressed-audio formats (MP3/AAC/FLAC) raise NotImplementedError — swap
@@ -181,6 +183,80 @@ def _decode_ima(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
     return out.reshape(-1)
 
 
+# --- MS ADPCM (WAVE_FORMAT_ADPCM, 0x0002) ----------------------------------
+# Per-block header (per channel: predictor index, initial delta, the two
+# seed samples), then 4-bit codes against a 2-tap predictor — the published
+# Microsoft multimedia-standards layout, same family shape as IMA above.
+
+_MS_COEFS = [
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+]
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+
+
+def _trunc_div_256(num: int) -> int:
+    """C-style /256 (truncation toward zero, spec arithmetic) — Python's
+    // floors, which differs on negative predictions."""
+    return -((-num) >> 8) if num < 0 else num >> 8
+
+
+def _ms_step(code: int, s1: int, s2: int, delta: int, c1: int, c2: int):
+    """One MS-ADPCM sample reconstruction; shared verbatim by decode and
+    the encoder's mirrored state so round-trip drift is impossible."""
+    signed = code - 16 if code & 8 else code
+    pred = _trunc_div_256(s1 * c1 + s2 * c2) + signed * delta
+    pred = max(-32768, min(32767, pred))
+    delta = max(16, (_MS_ADAPT[code] * delta) >> 8)
+    return pred, delta
+
+
+def _decode_ms(
+    data: bytes,
+    n_ch: int,
+    block_align: int,
+    samples_per_block: int,
+    coefs: list[tuple[int, int]],
+) -> np.ndarray:
+    """MS ADPCM 'data' chunk -> int16 array, channel-interleaved.
+    Block layout: per channel 1 predictor-index byte, then int16 idelta,
+    sample1, sample2 per channel; body nibbles HIGH-first, channels
+    alternating per nibble."""
+    header = 7 * n_ch
+    if block_align < header:
+        raise ValueError("MS ADPCM block_align smaller than headers")
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for b0 in range(0, len(data) - header + 1, block_align):
+        block = data[b0 : b0 + block_align]
+        pidx = list(block[:n_ch])
+        if any(p >= len(coefs) for p in pidx):
+            raise ValueError("MS ADPCM predictor index out of range")
+        deltas = list(struct.unpack_from(f"<{n_ch}h", block, n_ch))
+        s1 = list(struct.unpack_from(f"<{n_ch}h", block, 3 * n_ch))
+        s2 = list(struct.unpack_from(f"<{n_ch}h", block, 5 * n_ch))
+        for c in range(n_ch):
+            chans[c].extend((s2[c], s1[c]))  # seed samples, older first
+        n_codes = max(0, (samples_per_block - 2)) * n_ch
+        codes: list[int] = []
+        for byte in block[header:]:
+            codes.append(byte >> 4)
+            codes.append(byte & 0x0F)
+        for k, code in enumerate(codes[:n_codes]):
+            c = k % n_ch
+            c1, c2 = coefs[pidx[c]]
+            pred, deltas[c] = _ms_step(code, s1[c], s2[c], deltas[c], c1, c2)
+            s2[c], s1[c] = s1[c], pred
+            chans[c].append(pred)
+    frames = min(len(c) for c in chans) if chans else 0
+    out = np.empty((frames, n_ch), np.int16)
+    for c in range(n_ch):
+        out[:, c] = chans[c][:frames]
+    return out.reshape(-1)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """-> (sample_rate, n_channels, float64 (frames, channels) in [-1, 1])."""
     if not sniff_wav(payload):
@@ -228,6 +304,25 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
             / 32768
     elif audio_format == 0x11:  # IMA/DVI ADPCM
         x = _decode_ima(data, n_ch, _balign).astype(np.float64) / 32768
+    elif audio_format == 0x02:  # MS ADPCM
+        # fmt extra: cbSize(16) | samples_per_block(18) | num_coef(20) |
+        # num_coef x (coef1:int16, coef2:int16). A writer may extend the
+        # standard 7-entry table; fall back to it when the extra is absent.
+        if len(fmt) >= 22:
+            spb, n_coef = struct.unpack("<HH", fmt[18:22])
+            if len(fmt) < 22 + 4 * n_coef:
+                raise ValueError("MS ADPCM fmt coefficient table truncated")
+            coefs = [
+                struct.unpack_from("<hh", fmt, 22 + 4 * i)
+                for i in range(n_coef)
+            ] or _MS_COEFS
+        else:
+            spb = max(2, (_balign - 7 * n_ch) * 2 // n_ch + 2)
+            coefs = _MS_COEFS
+        x = (
+            _decode_ms(data, n_ch, _balign, spb, coefs).astype(np.float64)
+            / 32768
+        )
     else:
         raise NotImplementedError(
             f"WAV audio format {audio_format} ({bits}-bit) — PCM, float32, "
@@ -333,6 +428,90 @@ def encode_wav_ima(
         rate * block_align // samples_per_block, block_align, 4, 2,
         samples_per_block,
     )
+    body2 = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body2)) + body2
+
+
+def encode_wav_ms(
+    rate: int, samples: np.ndarray, samples_per_block: int = 500
+) -> bytes:
+    """MS ADPCM writer (mono or stereo) — test-vector source mirroring
+    encode_wav_ima. Per block and channel it picks the predictor from the
+    standard 7-coefficient table minimizing block prediction error, seeds
+    idelta from the mean residual, then quantizes greedily against the
+    SAME ``_ms_step`` reconstruction the decoder runs."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_ch = x.shape[1]
+    pcm = np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int64)
+    if samples_per_block < 2:
+        raise ValueError("samples_per_block must be >= 2")
+    if (samples_per_block - 2) % 2:
+        raise ValueError("samples_per_block must be 2 + multiple of 2")
+    block_align = 7 * n_ch + (samples_per_block - 2) * n_ch // 2
+    blocks = []
+    for b0 in range(0, pcm.shape[0], samples_per_block):
+        blk = pcm[b0 : b0 + samples_per_block]
+        if blk.shape[0] < samples_per_block:  # zero-pad the tail block
+            pad = np.zeros(
+                (samples_per_block - blk.shape[0], n_ch), np.int64
+            )
+            blk = np.vstack([blk, pad])
+        pidx, ideltas, s1s, s2s = [], [], [], []
+        nibs: list[list[int]] = [[] for _ in range(n_ch)]
+        for c in range(n_ch):
+            col = blk[:, c]
+            # predictor choice: least |residual| over the block
+            best, best_err = 0, None
+            for i, (c1, c2) in enumerate(_MS_COEFS):
+                pred = (col[:-2] * c2 + col[1:-1] * c1) // 256
+                err = int(np.abs(col[2:] - pred).sum())
+                if best_err is None or err < best_err:
+                    best, best_err = i, err
+            c1, c2 = _MS_COEFS[best]
+            n_resid = max(1, samples_per_block - 2)
+            idelta = max(16, min(32767, best_err // (n_resid * 4)))
+            s2, s1, delta = int(col[0]), int(col[1]), idelta
+            pidx.append(best)
+            ideltas.append(idelta)
+            s1s.append(s1)
+            s2s.append(s2)
+            for s in range(2, samples_per_block):
+                predictor = _trunc_div_256(s1 * c1 + s2 * c2)
+                code = (int(col[s]) - predictor) // delta if delta else 0
+                code = max(-8, min(7, code)) & 0x0F
+                rec, delta = _ms_step(code, s1, s2, delta, c1, c2)
+                s2, s1 = s1, rec
+                nibs[c].append(code)
+        header = (
+            bytes(pidx)
+            + struct.pack(f"<{n_ch}h", *ideltas)
+            + struct.pack(f"<{n_ch}h", *s1s)
+            + struct.pack(f"<{n_ch}h", *s2s)
+        )
+        # nibbles HIGH-first, channels alternating per nibble
+        flat = []
+        for s in range(samples_per_block - 2):
+            for c in range(n_ch):
+                flat.append(nibs[c][s])
+        body = bytearray()
+        for k in range(0, len(flat), 2):
+            body.append((flat[k] << 4) | flat[k + 1])
+        blocks.append(header + bytes(body))
+    data = b"".join(blocks)
+    coef_extra = struct.pack("<HH", samples_per_block, len(_MS_COEFS))
+    for c1, c2 in _MS_COEFS:
+        coef_extra += struct.pack("<hh", c1, c2)
+    fmt = struct.pack(
+        "<HHIIHHH", 0x02, n_ch, rate,
+        rate * block_align // samples_per_block, block_align, 4,
+        len(coef_extra),
+    ) + coef_extra
     body2 = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
