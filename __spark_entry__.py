@@ -1271,7 +1271,8 @@ def q_txt_hygiene(spark, sf_dir):
     guarantees hits (every probe doc contaminates at least itself)."""
     from xwikire_spark.operators.dedup import (
         contamination_hits,
-        excise_exprs,
+        excise_kept_expr,
+        excise_plan_exprs,
     )
     from xwikire_spark.operators.textstats import scrub_pii
 
@@ -1311,11 +1312,12 @@ def q_txt_hygiene(spark, sf_dir):
     base = scrub_pii(planted, text_col="ptext").join(
         F.broadcast(hits), "doc_id", "left"
     )
-    kept, words = excise_exprs("text", "hit_pos", 8)
-    # Generate barrier: evaluate the word filter ONCE (the projection-
-    # collapse re-inlining trap); downstream refs to r.kept are plain
-    # attributes
-    g = base.select(
+    words, gs, ge = excise_plan_exprs("text", "hit_pos", 8)
+    # Generate barriers: materialize words + merged-interval gaps once,
+    # then the kept array once (the projection-collapse re-inlining
+    # trap); downstream refs to r.kept are plain attributes. Two stages
+    # keep the excision O(words + gaps) even on fully-contaminated docs.
+    g0 = base.select(
         "doc_id",
         "n_urls",
         "n_emails",
@@ -1324,7 +1326,26 @@ def q_txt_hygiene(spark, sf_dir):
         "n_contaminated_shingles",
         "example_shingle",
         F.explode(
-            F.array(F.struct(kept.alias("kept"), F.size(words).alias("n0")))
+            F.array(
+                F.struct(words.alias("w"), gs.alias("gs"), ge.alias("ge"))
+            )
+        ).alias("r"),
+    )
+    g = g0.select(
+        "doc_id",
+        "n_urls",
+        "n_emails",
+        "ptext",
+        "hit_pos",
+        "n_contaminated_shingles",
+        "example_shingle",
+        F.explode(
+            F.array(
+                F.struct(
+                    excise_kept_expr("r.w", "r.gs", "r.ge").alias("kept"),
+                    F.size("r.w").alias("n0"),
+                )
+            )
         ).alias("r"),
     )
     fam = F.concat(

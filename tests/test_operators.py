@@ -983,6 +983,30 @@ class TestDecontaminate:
         assert obs.get["docs"] == 5
         assert obs.get["removed"] == 9 + 9 + 27
 
+    def test_fully_contaminated_10k_words_bounded(self, spark):
+        """VERDICT r4 #2: a doc that is 100% probe overlap at 10k words.
+        The per-word exists() shape did O(words x hits) ~ 1e8 lambda evals
+        here; the merged-interval gap slicing collapses all hits into ONE
+        covered interval, so the excision is O(words) and must finish
+        comfortably within the bound."""
+        import time
+
+        from xwikire_spark.operators.dedup import decontaminate
+
+        n = 10_000
+        text = " ".join(f"w{i}" for i in range(n))
+        docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        probes = spark.createDataFrame(
+            [(1, text)], "probe_id int, text string"
+        )
+        t0 = time.monotonic()
+        got = decontaminate(docs, probes, k=8, mode="excise").collect()
+        dt = time.monotonic() - t0
+        assert len(got) == 1
+        assert got[0]["text"] == ""
+        assert got[0]["n_removed_words"] == n
+        assert dt < 60, f"excise took {dt:.1f}s — not bounded"
+
     def test_duckdb_differential_excise(self, spark):
         import duckdb
         import pandas as pd

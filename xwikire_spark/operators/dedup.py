@@ -604,21 +604,79 @@ def contamination_hits(
     )
 
 
-def excise_exprs(text_col: str, hit_pos_col: str, k: int):
-    """Column-expression pair ``(kept_words, all_words)`` for span
-    excision: ``kept_words`` filters out every word index covered by a
-    matched k-shingle starting at any position in ``hit_pos_col`` (NULL
-    hit list = keep everything). Shared by ``decontaminate`` and fused
-    multi-output hygiene plans; the per-word exists() scan is
-    O(words x hits) with hits bounded by the probe overlap."""
+def excise_plan_exprs(text_col: str, hit_pos_col: str, k: int):
+    """Stage-1 column expressions ``(words, gap_starts, gap_ends)`` for
+    span excision (VERDICT r4 #2): the hit positions are sorted and merged
+    into disjoint covered intervals [p, p+k-1] via shifted zip_with (a run
+    starts where the previous hit is > k away, ends symmetrically), then
+    inverted into the UNCOVERED word-index gaps. All O(hits log hits)
+    array expressions; NULL hit list = one gap spanning the whole text.
+
+    Callers MUST materialize the three arrays behind a Generate barrier
+    (explode(array(struct(...)))) and build the kept text with
+    ``excise_kept_expr`` over the materialized attributes. The previous
+    single-expression shape ran a per-word exists() over the hit list —
+    O(words x hits), quadratic on a fully-contaminated document (every
+    word a hit start) — and slicing gaps directly here would re-inline
+    the split() per gap lambda element (the documented Catalyst trap);
+    attributes behind a Generate are evaluated once, so stage 2 is
+    O(words + gaps)."""
     words = F.split(F.col(text_col), " ")
-    covered = lambda i: F.exists(  # noqa: E731
-        F.col(hit_pos_col), lambda p: (i >= p) & (i <= p + F.lit(k - 1))
+    hp = F.col(hit_pos_col)
+    sorted_ = F.sort_array(hp)
+    n = F.size(sorted_)
+    tail_len = F.greatest(n - 1, F.lit(0)).cast("int")
+    big = F.lit(1 << 30)
+    # previous/next hit per position (sentinels at the ends); a hit s
+    # STARTS a merged run iff prev < s - k (intervals [p, p+k-1] and
+    # [s, s+k-1] stay disjoint iff s > p + k), ENDS one symmetrically
+    prevs = F.concat(F.array(-big), F.slice(sorted_, 1, tail_len))
+    nexts = F.concat(F.slice(sorted_, 2, tail_len), F.array(big))
+    run_starts = F.filter(
+        F.zip_with(
+            sorted_, prevs, lambda s, p: F.when(s > p + F.lit(k), s)
+        ),
+        lambda x: x.isNotNull(),
     )
-    kept = F.when(F.col(hit_pos_col).isNull(), words).otherwise(
-        F.filter(words, lambda w, i: ~covered(i))
+    run_ends = F.filter(
+        F.zip_with(
+            sorted_,
+            nexts,
+            lambda s, nx: F.when(nx > s + F.lit(k), s + F.lit(k - 1)),
+        ),
+        lambda x: x.isNotNull(),
     )
-    return kept, words
+    # gaps = the complement of the merged runs over [0, n_words-1]
+    # (degenerate gaps like [0, -1] slice to empty downstream)
+    gap_starts = F.concat(
+        F.array(F.lit(0)), F.transform(run_ends, lambda e: e + 1)
+    )
+    gap_ends = F.concat(
+        F.transform(run_starts, lambda s: s - 1),
+        F.array(F.size(words) - 1),
+    )
+    full = F.array(F.lit(0)), F.array(F.size(words) - 1)
+    gs = F.when(hp.isNull(), full[0]).otherwise(gap_starts)
+    ge = F.when(hp.isNull(), full[1]).otherwise(gap_ends)
+    return words, gs, ge
+
+
+def excise_kept_expr(words_col: str, gs_col: str, ge_col: str):
+    """Stage-2 kept-words array from the barrier-materialized
+    (words, gap_starts, gap_ends) attributes: slice each uncovered gap
+    out of the word array and flatten — each word is copied at most once,
+    so the whole excision is O(words + gaps) per document."""
+    return F.flatten(
+        F.zip_with(
+            F.col(gs_col),
+            F.col(ge_col),
+            lambda a, b: F.slice(
+                F.col(words_col),
+                (a + 1).cast("int"),
+                F.greatest(b - a + 1, F.lit(0)).cast("int"),
+            ),
+        )
+    )
 
 
 def decontaminate(
@@ -676,26 +734,40 @@ def decontaminate(
             F.lit(0).alias("words_removed"),
         )
 
-    # excise: matched shingle START positions per doc (0-based), then drop
-    # every word index covered by [pos, pos+k-1]
+    # excise: matched shingle START positions per doc (0-based) -> merged
+    # disjoint covered intervals -> slice out the uncovered gaps
     hit_pos = hits.select("doc_id", "hit_pos")
-    kept, words = excise_exprs(text_col, "hit_pos", k)
+    words, gs, ge = excise_plan_exprs(text_col, "hit_pos", k)
     other_cols = [c for c in docs.columns if c != text_col]
-    # Generate barrier: evaluate kept/word-count ONCE per row — referencing
-    # `kept` twice (text + count) would make Catalyst re-inline the whole
-    # filter chain per use (the round-1/2 projection-collapse trap)
+    # Generate barrier: materialize words + gap bounds ONCE per row — the
+    # stage-2 slicing lambda then reads attributes, so Catalyst can't
+    # re-inline the split()/merge chain per gap (the round-1/2
+    # projection-collapse trap)
     g = docs.join(hit_pos, "doc_id", "left").select(
         *other_cols,
         F.col(text_col).isNull().alias("_null_text"),
         F.explode(
             F.array(
                 F.struct(
-                    kept.alias("kept"), F.size(words).alias("n0")
+                    words.alias("w"), gs.alias("gs"), ge.alias("ge")
                 )
             )
         ).alias("r"),
     )
-    out = g.select(
+    # second barrier: kept is referenced twice below (text + count)
+    g2 = g.select(
+        *other_cols,
+        "_null_text",
+        F.explode(
+            F.array(
+                F.struct(
+                    excise_kept_expr("r.w", "r.gs", "r.ge").alias("kept"),
+                    F.size("r.w").alias("n0"),
+                )
+            )
+        ).alias("r"),
+    )
+    out = g2.select(
         *other_cols,
         F.when(F.col("_null_text"), F.lit(None).cast("string"))
         .otherwise(F.concat_ws(" ", F.col("r.kept")))
