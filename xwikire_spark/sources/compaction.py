@@ -96,6 +96,13 @@ def partition_hash(spark: SparkSession, path: str) -> int:
     return row["h"] if row["h"] is not None else 0
 
 
+def _current_files(part_dir: str) -> list[str]:
+    """Sorted .parquet basenames currently in a partition dir — the
+    pre-swap dirty check re-lists through this (module-level so tests can
+    interpose a concurrent append at exactly the race point)."""
+    return sorted(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+
+
 def _recover_interrupted(path: str, partition_col: str) -> None:
     """Restore partitions parked at their dot-prefixed backup by a crash
     exactly between the two swap renames (the partition dir is absent in
@@ -123,7 +130,9 @@ def compact_partitions(
     """Rewrite small-file partitions under ``path`` and swap them in.
 
     Returns per-partition stats:
-    ``[{partition, files_before, files_after, bytes}, ...]``.
+    ``[{partition, files_before, files_after, bytes, skipped_dirty},
+    ...]`` — ``skipped_dirty`` marks partitions left untouched because a
+    concurrent appender changed their file set mid-rewrite.
     """
     _recover_interrupted(path, partition_col)
     plan = compaction_plan(path, partition_col, target_bytes, min_files)
@@ -148,6 +157,25 @@ def compact_partitions(
         for f in os.listdir(tmp):
             if not f.endswith(".parquet"):
                 os.remove(os.path.join(tmp, f))
+        # Concurrent-appender guard: re-list immediately before the swap
+        # and SKIP (report, don't fail) a partition whose file set changed
+        # since compaction_plan listed it — swapping would silently drop
+        # the concurrently-appended file(s). This shrinks the loss window
+        # from the whole rewrite duration to the list->rename instants;
+        # closing it entirely needs the table format's optimistic commit
+        # (Iceberg rewrite_data_files validates exactly this way and
+        # retries), which the parquet-dir fallback cannot express. A
+        # skipped partition is left untouched and picked up next run.
+        planned = sorted(os.path.basename(f) for f in before[pval])
+        if _current_files(src) != planned:
+            shutil.rmtree(tmp)
+            return {
+                "partition": pval,
+                "files_before": len(before[pval]),
+                "files_after": len(_current_files(src)),
+                "bytes": nbytes,
+                "skipped_dirty": True,
+            }
         os.rename(src, old)      # swap: a crash between these two renames
         os.rename(tmp, src)      # parks the partition at its dot-prefixed
         # backup (absent to readers, never half-written) until
@@ -156,10 +184,9 @@ def compact_partitions(
         return {
             "partition": pval,
             "files_before": len(before[pval]),
-            "files_after": len(
-                [f for f in os.listdir(src) if f.endswith(".parquet")]
-            ),
+            "files_after": len(_current_files(src)),
             "bytes": nbytes,
+            "skipped_dirty": False,
         }
 
     if not plan:
