@@ -308,8 +308,9 @@ def incremental_minhash_dedup(
     # but the old full-index count-window shuffled EVERY banded row per
     # micro-batch. Now the touched-bucket filter broadcasts (bounded by
     # new docs x bands) and only matching index rows reach the aggregate;
-    # the index is still scanned once per batch (the irreducible cost
-    # without a persisted per-bucket count table).
+    # the index is still scanned AND re-banded once per batch here — use
+    # incremental_minhash_dedup_banded (persisted banded table, touched-
+    # bucket pruned scan) for the O(new)-per-batch production shape.
     touched = new_banded.select("band", "band_hash").distinct()
     touched_rows = all_banded.join(
         F.broadcast(touched), ["band", "band_hash"]
@@ -336,6 +337,121 @@ def incremental_minhash_dedup(
     )
     pairs = jaccard_verify(corpus, cands, text_col, threshold, shingle_k=k)
     return pairs, updated, new_sigs
+
+
+N_BH_PARTS = 64
+
+BANDS_SCHEMA = "band int, band_hash bigint, doc_id string"
+
+
+def bh_part_expr(col: str = "band_hash"):
+    """Partition key for the PERSISTED banded index: pmod of the band
+    hash into ``N_BH_PARTS`` directories. A micro-batch's touched buckets
+    then map to a bounded set of partitions, so the batch's scan of a
+    100 TB banded table starts with directory-level partition pruning
+    before any row is read."""
+    return F.pmod(F.col(col), F.lit(N_BH_PARTS))
+
+
+def incremental_minhash_dedup_banded(
+    corpus: DataFrame,
+    banded_index: DataFrame,
+    known_ids: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.8,
+    k: int = 3,
+    max_bucket: int = 200,
+    max_hash_pushdown: int = 10_000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """O(new)-per-batch incremental near-dup (VERDICT r4 #1): the banded
+    form of the index is PERSISTED (``BANDS_SCHEMA``, append-only, written
+    by the caller from the returned delta) instead of being re-derived
+    from the whole signature table every micro-batch — the one remaining
+    O(corpus)-per-batch term in ``incremental_minhash_dedup``.
+
+    -> (pairs, new_sigs, new_banded): callers append ``new_banded`` (plus
+    ``bh_part_expr()`` as partition key) to the banded table and
+    ``new_sigs`` to the signature table; ``pairs`` is this batch's
+    verified near-dup delta.
+
+    Per batch the banded table is read ONLY at the buckets the new docs
+    touch:
+    - the touched (band, band_hash) set (bounded by new docs x bands) is
+      collected and pushed into the scan as a partition filter on
+      ``bh_part`` (directory pruning, <= N_BH_PARTS values) plus — when
+      the set is <= ``max_hash_pushdown`` — an IN filter on ``band_hash``
+      that parquet row-group statistics prune on; batches too large for
+      the IN list still get the partition pruning and fall back to the
+      broadcast bucket join below;
+    - exactness comes from the broadcast equi-join against the touched
+      (band, band_hash) pairs (the pushed filters are necessary
+      conditions, never the final test);
+    - bucket occupancy for the ``max_bucket`` stop guard is
+      count_distinct(doc_id) over touched-bucket rows only — the same
+      union-population statistic the full batch computes, from O(touched)
+      rows instead of an index-wide shuffle. count_distinct (not count)
+      makes retry-duplicated band rows harmless.
+
+    The signature table keeps one job: the at-least-once anti-join on
+    doc_id (a single-column pruned scan; at real scale serve it from a
+    bloom filter or a doc_id-partitioned layout). Crash ordering contract
+    (see ``run_incremental_dedup``): pairs -> bands -> sigs.
+
+    ``new_sigs`` is localCheckpoint()ed internally: the touched-bucket
+    list is collected to the driver, and without the checkpoint the
+    MinHash pass would re-run for the collect, the banding, and the
+    caller's persist.
+    """
+    fresh = new_docs.dropDuplicates(["doc_id"]).join(
+        known_ids.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    new_sigs = minhash_signatures(
+        fresh, text_col, n_hashes, k=k
+    ).localCheckpoint()
+    new_banded = _banded(new_sigs, n_bands)
+    hashes = sorted(
+        r["band_hash"]
+        for r in new_banded.select("band_hash").distinct().collect()
+    )
+    scan = banded_index
+    if "bh_part" in scan.columns:
+        parts = sorted({h % N_BH_PARTS for h in hashes})
+        scan = scan.where(F.col("bh_part").isin(parts))
+    if len(hashes) <= max_hash_pushdown:
+        scan = scan.where(F.col("band_hash").isin(hashes))
+    touched = new_banded.select("band", "band_hash").distinct()
+    old_touched = scan.join(
+        F.broadcast(touched), ["band", "band_hash"]
+    ).select("band", "band_hash", "doc_id")
+    union_rows = old_touched.unionByName(
+        new_banded.select("band", "band_hash", "doc_id")
+    )
+    occupancy = union_rows.groupBy("band", "band_hash").agg(
+        F.count_distinct("doc_id").alias("bucket_n")
+    )
+    ok = occupancy.where(F.col("bucket_n") <= max_bucket).select(
+        "band", "band_hash"
+    )
+    a = union_rows.join(F.broadcast(ok), ["band", "band_hash"]).alias("a")
+    b = (
+        new_banded.select("band", "band_hash", "doc_id")
+        .join(F.broadcast(ok), ["band", "band_hash"])
+        .alias("b")
+    )
+    cands = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    pairs = jaccard_verify(corpus, cands, text_col, threshold, shingle_k=k)
+    return pairs, new_sigs, new_banded
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
