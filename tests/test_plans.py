@@ -61,6 +61,28 @@ class TestFlagshipPlans:
         # not a sort of the data
         assert single_partition_exchanges(packing) <= 1
 
+    def test_entity_salience_no_single_partition_exchange(self, spark):
+        """The bench-headline salience query (VERDICT r4 #5) ranks via
+        global_rank — its plan must contain NO Exchange SinglePartition
+        (a window ORDER BY over all entities would)."""
+        import pandas as pd
+
+        from xwikire_spark.pipeline.graph import entity_salience
+        from xwikire_spark.plans.inspection import (
+            single_partition_exchanges,
+        )
+
+        triples = spark.createDataFrame(
+            pd.DataFrame(
+                [(f"e{i % 7}", "p", f"e{(i + 1) % 7}", f"c{i % 3}")
+                 for i in range(30)],
+                columns=["subj", "pred", "obj", "conv_id"],
+            )
+        )
+        df = entity_salience(triples, n_iter=2, top_k=5)
+        assert single_partition_exchanges(df) == 0
+        assert df.count() == 5
+
     def test_topk_uses_take_ordered(self, spark):
         import __spark_entry__ as e
         from xwikire_spark.plans.inspection import (
