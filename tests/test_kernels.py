@@ -752,18 +752,84 @@ class TestJpegCodec:
             assert (w, h, c) == (33, 24, 3)
             assert max(abs(a - b) for a, b in zip(px, src)) <= 20
 
-    def test_progressive_raises(self):
-        import struct
+    def test_progressive_bit_identical_to_baseline(self):
+        """Progression is a lossless reordering of the same quantized
+        coefficients, so progressive encode -> decode must equal
+        baseline encode -> decode BIT-FOR-BIT — grayscale, 4:4:4,
+        4:2:0, non-multiple-of-MCU sizes, and restart intervals. This
+        exercises every Annex-G decoder path: interleaved and single-
+        component DC scans, spectral bands, DC+AC refinement, EOBn
+        runs, ZRL-in-refinement, and RSTn inside progressive scans."""
+        import numpy as np
 
-        import pytest as _pytest
+        from xwikire_spark.kernels.jpegcodec import decode_jpeg, encode_jpeg
 
-        from xwikire_spark.kernels.jpegcodec import decode_jpeg
+        rng = np.random.default_rng(7)
+        for (w, h, ch, sub, ri) in [
+            (16, 8, 1, False, 0),
+            (33, 24, 3, False, 0),
+            (33, 24, 3, True, 0),
+            (40, 17, 3, True, 3),
+            (64, 48, 3, False, 2),
+        ]:
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = ((xx * 255 // max(w - 1, 1) + yy * 7) % 256)
+            px = np.stack(
+                [np.roll(base, i * 3, axis=1) for i in range(ch)], axis=-1
+            )
+            px = np.clip(
+                px + rng.integers(-20, 20, px.shape), 0, 255
+            ).astype(np.uint8)
+            raw = bytes(px.tobytes())
+            b_base = encode_jpeg(
+                w, h, ch, raw, subsample=sub, restart_interval=ri
+            )
+            b_prog = encode_jpeg(
+                w, h, ch, raw, subsample=sub, restart_interval=ri,
+                progressive=True,
+            )
+            assert b_prog[3] != b_base[3] or b"\xff\xc2" in b_prog
+            assert decode_jpeg(b_prog) == decode_jpeg(b_base), (
+                w, h, ch, sub, ri,
+            )
 
-        sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-        blob = (b"\xff\xd8"
-                + struct.pack(">BBH", 0xFF, 0xC2, len(sof2) + 2) + sof2)
-        with _pytest.raises(NotImplementedError):
-            decode_jpeg(blob)
+    def test_progressive_flat_regions_exercise_eob_runs(self):
+        """A mostly-flat image makes long EOBn runs (the r >= 1 end-of-
+        band symbols Annex K tables cannot even express) — decode must
+        still be bit-identical to baseline."""
+        import numpy as np
+
+        from xwikire_spark.kernels.jpegcodec import decode_jpeg, encode_jpeg
+
+        px = np.full((64, 64, 3), 130, dtype=np.uint8)
+        px[30:34, 30:34] = 250  # one feature so not everything is DC
+        raw = bytes(px.tobytes())
+        b_prog = encode_jpeg(64, 64, 3, raw, progressive=True)
+        assert decode_jpeg(b_prog) == decode_jpeg(encode_jpeg(64, 64, 3, raw))
+
+    def test_progressive_truncation_detected(self):
+        """Truncating a progressive file at any point raises (never a
+        silent wrong image, never a hang) — same malformed-input
+        contract as the baseline path."""
+        import numpy as np
+
+        from xwikire_spark.kernels.jpegcodec import decode_jpeg, encode_jpeg
+
+        px = (np.indices((24, 16)).sum(0) * 9 % 256).astype(np.uint8)
+        blob = encode_jpeg(16, 24, 1, bytes(px.tobytes()), progressive=True)
+        full = decode_jpeg(blob)
+        bad = 0
+        for cut in range(2, len(blob) - 1, 7):
+            try:
+                assert decode_jpeg(blob[:cut]) != full
+            except (ValueError, IndexError, NotImplementedError):
+                bad += 1
+            except Exception as exc:  # struct.error is spec'd too
+                import struct as _struct
+
+                assert isinstance(exc, _struct.error), exc
+                bad += 1
+        assert bad > 0
 
     def test_multiscan_raises(self):
         """A baseline non-interleaved multi-scan JPEG (first SOS lists 1

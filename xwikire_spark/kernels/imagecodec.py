@@ -1,10 +1,12 @@
 """Dependency-free image codecs: PNG (zlib DEFLATE, filters 0-4), binary
-PPM, baseline JPEG (via ``kernels/jpegcodec.py`` — stdlib parsing + numpy
-DCT), and GIF87a/89a (via ``kernels/gifcodec.py`` — full LZW, interlace).
+PPM, baseline + progressive JPEG (via ``kernels/jpegcodec.py`` — stdlib
+parsing + numpy DCT), and GIF87a/89a (via ``kernels/gifcodec.py`` — full
+LZW, interlace).
 
 Closes the round-2 "image decode honestly stubbed" gap for the formats
 decodable without PIL/libvips: PNG is zlib + per-scanline filters, PPM a
-header + raw bytes, baseline JPEG is implemented outright in jpegcodec,
+header + raw bytes, baseline and progressive (SOF2) JPEG are implemented
+outright in jpegcodec,
 and GIF in gifcodec. operators/multimodal.py uses this as its REAL decode
 path; the remaining stubs are WebP and inter-frame video codecs
 (H.264/VP9) — those raise NotImplementedError (swap in libvips/ffmpeg in

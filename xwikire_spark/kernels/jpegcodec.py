@@ -8,14 +8,25 @@ format sniffer, so `operators/multimodal.py`'s fake=False path now decodes
 PNG, PPM and baseline JPEG end-to-end.
 
 Scope (deliberately bounded, fully tested):
-- decode: baseline sequential (SOF0/SOF1), 8-bit, grayscale or YCbCr with
-  integer-ratio sampling factors (4:4:4 and 4:2:0 covered by tests),
-  restart markers honored (DRI), quant/Huffman tables read from the FILE
-  (the decoder never assumes the Annex-K constants). Progressive (SOF2),
-  arithmetic coding, 12-bit and non-dyadic sampling raise
-  NotImplementedError.
+- decode: baseline sequential (SOF0/SOF1) AND progressive (SOF2) DCT,
+  8-bit, grayscale or YCbCr with integer-ratio sampling factors (4:4:4
+  and 4:2:0 covered by tests), restart markers honored (DRI), quant/
+  Huffman tables read from the FILE (the decoder never assumes the
+  Annex-K constants). Progressive covers the full T.81 Annex G Huffman
+  procedures: spectral selection bands, interleaved/non-interleaved DC
+  scans, successive approximation (DC + AC first and refinement passes,
+  G.1.2.2/G.1.2.3), and EOBn end-of-band runs; its final dequant+IDCT is
+  vectorized over all blocks at once (one einsum per component).
+  Arithmetic coding, hierarchical (SOF5-7/13-15), 12-bit and non-dyadic
+  sampling raise NotImplementedError.
 - encode (test-vector source + re-encode path): 4:4:4 or 4:2:0 YCbCr /
-  grayscale, Annex-K quantization + Huffman tables, restart-free.
+  grayscale, Annex-K quantization + Huffman tables (progressive AC scans
+  carry a flat 9/10-bit AC table in their DHT — Annex K lacks the EOBn
+  symbols), optional ``progressive=True`` emitting a 6-scan script (DC
+  first Al=1 → AC bands 1-5/6-63 Al=1 → DC refine → AC band refines).
+  Progression is a lossless reordering of the same quantized
+  coefficients, so progressive encode→decode is BIT-IDENTICAL to
+  baseline encode→decode of the same pixels — the test gate.
 
 Decoded form matches imagecodec: (width, height, channels, flat bytearray).
 """
@@ -119,6 +130,17 @@ _AC_CHROMA = (
         0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
         0xF9, 0xFA,
     ],
+)
+
+
+# Flat AC table for the progressive ENCODER's scans: all 256 run/size
+# symbols at 9 bits (255) + 10 bits (1), canonical. Annex K's AC tables
+# lack the EOBn symbols (r<<4 for r>=1) progressive end-of-band runs
+# need; real progressive files always carry custom tables, and so do
+# ours — the decoder reads whatever DHT the file provides.
+_AC_FLAT = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
 )
 
 
@@ -228,6 +250,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
+    coef_state: list[np.ndarray] | None = None
     i = 2
     while i < len(payload):
         if payload[i] != 0xFF:
@@ -256,7 +280,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
                     nat[_ZZ[z]] = data[p + z]
                 qtabs[tq] = nat
                 p += 64
-        elif m in (0xC0, 0xC1):  # SOF0/1 baseline-compatible
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = m == 0xC2
             _prec, h, w = struct.unpack(">BHH", data[:5])
             if _prec != 8:
                 raise NotImplementedError("12-bit JPEG")
@@ -266,7 +291,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                    0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{m:02X})"
@@ -282,6 +307,31 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
                 p += 17 + nv
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
+        elif m == 0xDA and progressive:  # one of several progressive scans
+            if not comps:
+                raise ValueError("SOS before SOF")
+            if coef_state is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                coef_state = [
+                    np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                             dtype=np.int64)
+                    for c in comps
+                ]
+            scan = []
+            for c in range(data[0]):
+                cid, tt = data[1 + 2 * c], data[2 + 2 * c]
+                ci = next(
+                    k for k, x in enumerate(comps) if x["id"] == cid
+                )
+                scan.append((ci, tt >> 4, tt & 15))
+            ss, se, ahal = data[1 + 2 * data[0] : 4 + 2 * data[0]]
+            i = _decode_prog_scan(
+                payload, i, comps, scan, ss, se, ahal >> 4, ahal & 15,
+                coef_state, w, h, huffs, restart_interval,
+            )
         elif m == 0xDA:  # SOS — entropy data follows; decode and finish
             if data[0] < len(comps):
                 # legal baseline non-interleaved multi-scan stream: the
@@ -302,6 +352,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
                 payload, i, w, h, scan, qtabs, huffs, restart_interval
             )
         # else: APPn / COM — skipped
+    if progressive and coef_state is not None:
+        return _finish_progressive(coef_state, comps, qtabs, w, h)
     raise ValueError("JPEG has no scan")
 
 
@@ -353,15 +405,24 @@ def _decode_scan(payload, pos, w, h, scan, qtabs, huffs, restart_interval):
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    return _planes_to_pixels(
+        planes, [(c["h"], c["v"]) for c, _, _ in scan], w, h, hmax, vmax
+    )
+
+
+def _planes_to_pixels(planes, comp_hv, w, h, hmax, vmax):
+    """Upsample component planes to full resolution, crop, and convert
+    JFIF YCbCr -> RGB (or pass grayscale through). Shared by the baseline
+    and progressive decode paths."""
     full = []
-    for ci, (c, _, _) in enumerate(scan):
-        if hmax % c["h"] or vmax % c["v"]:
+    for ci, (ch, cv) in enumerate(comp_hv):
+        if hmax % ch or vmax % cv:
             raise NotImplementedError(
                 f"non-integer chroma subsampling ratio "
-                f"({c['h']}x{c['v']} vs {hmax}x{vmax})"
+                f"({ch}x{cv} vs {hmax}x{vmax})"
             )
         p = planes[ci]
-        p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        p = np.repeat(np.repeat(p, vmax // cv, 0), hmax // ch, 1)
         full.append(p[:h, :w])
     if len(full) == 1:
         rgb = np.clip(full[0], 0, 255)
@@ -372,6 +433,194 @@ def _decode_scan(payload, pos, w, h, scan, qtabs, huffs, restart_interval):
     b = y + 1.772 * cb
     rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255)
     return w, h, 3, bytearray(rgb.round().astype(np.uint8).tobytes())
+
+
+def _next_marker(d: bytes, i: int) -> int:
+    """Position of the first marker (0xFF followed by a non-stuffing
+    byte) at or after i — where the entropy-coded data of a finished
+    scan ends."""
+    while i < len(d) - 1:
+        if d[i] == 0xFF and d[i + 1] != 0x00:
+            return i
+        i += 1
+    raise ValueError("truncated JPEG: no marker after scan data")
+
+
+def _decode_prog_scan(
+    payload, pos, comps, scan, ss, se, ah, al, coef_state, w, h,
+    huffs, restart_interval,
+):
+    """Decode ONE progressive scan (T.81 Annex G, Huffman) into the
+    accumulated per-component coefficient grids; returns the payload
+    offset of the marker that follows the scan's entropy data.
+
+    scan = [(comp_index, dc_table, ac_table), ...]. DC scans (ss == 0)
+    may be interleaved (MCU order) or single-component; AC scans are
+    single-component by the standard. Successive approximation: first
+    passes (ah == 0) store values shifted left by al; refinement passes
+    (ah > 0) OR in / correct one bit at position al, with the G.1.2.3
+    EOB-run + correction-bit procedure."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("interleaved progressive AC scan")
+    rd = _BitReader(payload, pos)
+    preds = [0] * len(scan)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def dc_first(ci_s, arr, by, bx):
+        t = rd.huff(huffs[(0, scan[ci_s][1])])
+        preds[ci_s] += _extend(rd.bits(t), t)
+        arr[by, bx, 0] = preds[ci_s] << al
+
+    def dc_refine(arr, by, bx):
+        if rd.bit():
+            arr[by, bx, 0] |= p1
+
+    def ac_first(arr, by, bx):
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        lut = huffs[(1, scan[0][2])]
+        k = ss
+        while k <= se:
+            rs = rd.huff(lut)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rd.bits(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC index past Se")
+            arr[by, bx, _ZZ[k]] = _extend(rd.bits(s), s) << al
+            k += 1
+
+    def ac_refine(arr, by, bx):
+        # T.81 G.1.2.3 (the jdphuff.c shape): within the band, a symbol
+        # either places a NEW +-p1 coefficient after a run of r
+        # zero-HISTORY positions, or starts an EOB run; every nonzero-
+        # history position crossed on the way reads one correction bit.
+        nonlocal eobrun
+        lut = huffs[(1, scan[0][2])]
+        blk = arr[by, bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = rd.huff(lut)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "AC refinement size != 1"
+                        )
+                    val = p1 if rd.bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                while k <= se:
+                    z = _ZZ[k]
+                    if blk[z] != 0:
+                        if rd.bit() and (blk[z] & p1) == 0:
+                            blk[z] += p1 if blk[z] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[_ZZ[k]] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                z = _ZZ[k]
+                if blk[z] != 0:
+                    if rd.bit() and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def do_unit(ci_s, by, bx):
+        arr = coef_state[scan[ci_s][0]]
+        if ss == 0:
+            if ah == 0:
+                dc_first(ci_s, arr, by, bx)
+            else:
+                dc_refine(arr, by, bx)
+        elif ah == 0:
+            ac_first(arr, by, bx)
+        else:
+            ac_refine(arr, by, bx)
+
+    unit_n = 0
+    rst = 0
+
+    def at_restart():
+        nonlocal rst, preds, eobrun
+        rd.restart(rst)
+        rst = (rst + 1) & 7
+        preds = [0] * len(scan)
+        eobrun = 0
+
+    if ss == 0 and len(scan) > 1:  # interleaved DC scan: MCU order
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and unit_n and \
+                        unit_n % restart_interval == 0:
+                    at_restart()
+                unit_n += 1
+                for ci_s, (ci, _, _) in enumerate(scan):
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            do_unit(
+                                ci_s, my * c["v"] + by, mx * c["h"] + bx
+                            )
+    else:  # single-component scan: raster over the NON-padded block grid
+        c = comps[scan[0][0]]
+        comp_w = -(-w * c["h"] // hmax)  # ceil: component resolution
+        comp_h = -(-h * c["v"] // vmax)
+        nbw = -(-comp_w // 8)
+        nbh = -(-comp_h // 8)
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart_interval and unit_n and \
+                        unit_n % restart_interval == 0:
+                    at_restart()
+                unit_n += 1
+                do_unit(0, by, bx)
+    return _next_marker(payload, rd.i)
+
+
+def _finish_progressive(coef_state, comps, qtabs, w, h):
+    """Dequantize + IDCT every accumulated block at once (vectorized:
+    one einsum per component) and assemble/convert like the baseline
+    path."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        deq = coef_state[ci] * qtabs[c["tq"]]
+        bh, bw = deq.shape[0], deq.shape[1]
+        blocks = deq.reshape(bh, bw, 8, 8)
+        out = np.einsum("xu,ABuv,vy->ABxy", _T.T, blocks, _T) + 128
+        planes.append(out.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _planes_to_pixels(
+        planes, [(c["h"], c["v"]) for c in comps], w, h, hmax, vmax
+    )
 
 
 # --- encoder (test-vector source + multimodal re-encode) ---------------------
@@ -430,6 +679,226 @@ def _encode_block(bw, block, qnat, dc_lut, ac_lut, pred):
     return zz[0]
 
 
+def _quantize_blocks(padded, samp, qsel, qnat, mcus_x, mcus_y):
+    """FDCT + quantize every 8x8 block of every (MCU-padded) component
+    plane -> list of (blocks_y, blocks_x, 64) int arrays in ZIGZAG scan
+    order. Per-block arithmetic is kept IDENTICAL to _encode_block so a
+    progressive emission of these grids reproduces the baseline
+    encoder's coefficients bit-for-bit."""
+    out = []
+    for ci, p in enumerate(padded):
+        hi, vi = samp[ci]
+        bh, bw = mcus_y * vi, mcus_x * hi
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        qn = qnat[qsel[ci]]
+        for by in range(bh):
+            for bx in range(bw):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                q = np.rint(
+                    fdct2(block - 128.0).reshape(64) / qn
+                ).astype(int)
+                arr[by, bx] = [int(q[_ZZ[z]]) for z in range(64)]
+        out.append(arr)
+    return out
+
+
+class _ProgScanWriter:
+    """Entropy emission for one progressive scan (T.81 Annex G).
+
+    The AC-refinement emitter MIRRORS the decoder's crossing walk
+    (jdphuff-shaped, see _decode_prog_scan.ac_refine): correction bits
+    for already-nonzero coefficients are emitted exactly when the
+    decoder's walk for the current symbol (ZRL span, new-coefficient
+    run, or EOB tail) crosses them — never flushed early."""
+
+    def __init__(self, bw, ac_lut):
+        self.bw = bw
+        self.ac_lut = ac_lut
+        self.eobrun = 0
+        self.eob_bits: list[int] = []
+
+    def flush_eobrun(self):
+        if self.eobrun:
+            nb = self.eobrun.bit_length() - 1
+            code, length = self.ac_lut[nb << 4]
+            self.bw.write(code, length)
+            if nb:
+                self.bw.write(self.eobrun & ((1 << nb) - 1), nb)
+            self.eobrun = 0
+        for b in self.eob_bits:
+            self.bw.write(b, 1)
+        self.eob_bits = []
+
+    def _bump_eobrun(self):
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+    def ac_first(self, zz, ss, se, al):
+        """One block of an AC first pass (Ah == 0): magnitudes point-
+        transformed toward zero (abs >> al), EOB runs accumulated."""
+        bw = self.bw
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = (v if v >= 0 else -v) >> al
+            if t == 0:
+                r += 1
+                continue
+            self.flush_eobrun()
+            while r > 15:
+                code, length = self.ac_lut[0xF0]
+                bw.write(code, length)
+                r -= 16
+            s = t.bit_length()
+            code, length = self.ac_lut[(r << 4) | s]
+            bw.write(code, length)
+            val = t if v >= 0 else -t
+            bw.write(val if val >= 0 else val + (1 << s) - 1, s)
+            r = 0
+        if r:
+            self._bump_eobrun()
+
+    def ac_refine(self, zz, ss, se, al):
+        """One block of an AC refinement pass (Ah == al + 1)."""
+        bw = self.bw
+        t = [0] * ss + [
+            ((int(zz[k]) if zz[k] >= 0 else -int(zz[k])) >> al)
+            for k in range(ss, se + 1)
+        ]
+        k = ss
+        while k <= se:
+            # next newly-nonzero coefficient and the zero-history run
+            # the decoder will skip to reach it
+            j, r = k, 0
+            while j <= se and t[j] != 1:
+                if t[j] == 0:
+                    r += 1
+                j += 1
+            if j > se:  # no more new coefficients: block joins the EOB run
+                for z in range(k, se + 1):
+                    if t[z] > 1:
+                        self.eob_bits.append(t[z] & 1)
+                self._bump_eobrun()
+                return
+            while r > 15:
+                self.flush_eobrun()
+                code, length = self.ac_lut[0xF0]
+                bw.write(code, length)
+                r -= 16
+                zeros = 16
+                while True:  # bits crossed by THIS ZRL's 16-zero span
+                    if t[k] > 1:
+                        bw.write(t[k] & 1, 1)
+                    elif t[k] == 0:
+                        zeros -= 1
+                        if zeros == 0:
+                            k += 1
+                            break
+                    k += 1
+            self.flush_eobrun()
+            code, length = self.ac_lut[(r << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if zz[j] > 0 else 0, 1)
+            for z in range(k, j):
+                if t[z] > 1:
+                    bw.write(t[z] & 1, 1)
+            k = j + 1
+
+
+def _encode_progressive_scans(
+    qblocks, samp, qsel, dims, dc_luts, ac_lut, restart_interval,
+):
+    """Emit the 6-scan progressive script; returns a list of
+    (sos_header_bytes, entropy_bytes). dims = (mcus_x, mcus_y,
+    [(nbh, nbw) per component])."""
+    mcus_x, mcus_y, nb = dims
+    ncomp = len(qblocks)
+    scans = []
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            # DC table per component class; AC always the flat table 0
+            td = 0 if qsel[ci] == 0 else 1
+            body += bytes([ci + 1, (td << 4) | 0])
+        return body + bytes([ss, se, (ah << 4) | al])
+
+    def run_dc(ah, al):
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        mcu_n = 0
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_n and \
+                        mcu_n % restart_interval == 0:
+                    bw.flush()
+                    bw.out.extend((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) & 7
+                    preds = [0] * ncomp
+                mcu_n += 1
+                for ci in range(ncomp):
+                    hi, vi = samp[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(
+                                qblocks[ci][my * vi + by, mx * hi + bx, 0]
+                            )
+                            if ah == 0:
+                                sh = v >> al
+                                diff = sh - preds[ci]
+                                preds[ci] = sh
+                                tt = abs(diff).bit_length()
+                                code, length = dc_luts[qsel[ci]][tt]
+                                bw.write(code, length)
+                                if tt:
+                                    bw.write(
+                                        diff if diff >= 0
+                                        else diff + (1 << tt) - 1,
+                                        tt,
+                                    )
+                            else:
+                                bw.write((v >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def run_ac(ci, ss, se, ah, al):
+        bw = _BitWriter()
+        sw = _ProgScanWriter(bw, ac_lut)
+        nbh, nbw = nb[ci]
+        blk_n = 0
+        rst = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart_interval and blk_n and \
+                        blk_n % restart_interval == 0:
+                    sw.flush_eobrun()
+                    bw.flush()
+                    bw.out.extend((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) & 7
+                blk_n += 1
+                zz = qblocks[ci][by, bx]
+                if ah == 0:
+                    sw.ac_first(zz, ss, se, al)
+                else:
+                    sw.ac_refine(zz, ss, se, al)
+        sw.flush_eobrun()
+        bw.flush()
+        return bytes(bw.out)
+
+    all_ids = list(range(ncomp))
+    scans.append((sos(all_ids, 0, 0, 0, 1), run_dc(0, 1)))
+    for ci in range(ncomp):
+        scans.append((sos([ci], 1, 5, 0, 1), run_ac(ci, 1, 5, 0, 1)))
+        scans.append((sos([ci], 6, 63, 0, 1), run_ac(ci, 6, 63, 0, 1)))
+    scans.append((sos(all_ids, 0, 0, 1, 0), run_dc(1, 0)))
+    for ci in range(ncomp):
+        scans.append((sos([ci], 1, 5, 1, 0), run_ac(ci, 1, 5, 1, 0)))
+        scans.append((sos([ci], 6, 63, 1, 0), run_ac(ci, 6, 63, 1, 0)))
+    return scans
+
+
 def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
     ph = -(-plane.shape[0] // mult) * mult
     pw = -(-plane.shape[1] // mult) * mult
@@ -447,11 +916,17 @@ def encode_jpeg(
     pixels: bytes | bytearray,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Baseline JPEG encoder: grayscale or YCbCr 4:4:4 (4:2:0 with
     ``subsample=True``), Annex-K tables, optional DRI/RSTn restart
     markers. Lossy by nature — tests bound the round-trip error rather
-    than demanding equality."""
+    than demanding equality.
+
+    ``progressive=True`` emits the same quantized coefficients as a
+    SOF2 spectral-selection + successive-approximation scan script
+    instead (see module docstring) — progression reorders losslessly,
+    so its decode is bit-identical to the baseline file's decode."""
     if channels not in (1, 3):
         raise NotImplementedError("JPEG encode needs 1 or 3 channels")
     px = np.frombuffer(bytes(pixels), dtype=np.uint8).astype(float)
@@ -499,6 +974,12 @@ def encode_jpeg(
             ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])),
             mode="edge",
         ))
+
+    if progressive:
+        return _assemble_progressive(
+            width, height, channels, planes, samp, qsel, qnat, padded,
+            mcus_x, mcus_y, restart_interval,
+        )
 
     bw = _BitWriter()
     preds = [0] * len(planes)
@@ -567,3 +1048,52 @@ def encode_jpeg(
         + bytes(bw.out)
         + b"\xff\xd9"
     )
+
+
+def _assemble_progressive(
+    width, height, channels, planes, samp, qsel, qnat, padded,
+    mcus_x, mcus_y, restart_interval,
+):
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    qblocks = _quantize_blocks(padded, samp, qsel, qnat, mcus_x, mcus_y)
+    # non-interleaved AC scans cover only the real (non-MCU-padded)
+    # block grid of each component
+    nb = []
+    for ci in range(len(planes)):
+        comp_w = -(-width * samp[ci][0] // hmax)
+        comp_h = -(-height * samp[ci][1] // vmax)
+        nb.append((-(-comp_h // 8), -(-comp_w // 8)))
+    dc_luts = [_build_encode_lut(*_DC_LUMA), _build_encode_lut(*_DC_CHROMA)]
+    ac_flat = _build_encode_lut(*_AC_FLAT)
+    scans = _encode_progressive_scans(
+        qblocks, samp, qsel, (mcus_x, mcus_y, nb), dc_luts, ac_flat,
+        restart_interval,
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = b""
+    for tq, table in ((0, _Q_LUMA), (1, _Q_CHROMA)):
+        if channels == 1 and tq == 1:
+            continue
+        dqt += bytes([tq]) + bytes(table[_ZZ[i]] for i in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, len(planes))
+    for ci in range(len(planes)):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
+    dht = b""
+    tables = [(0, 0, _DC_LUMA), (1, 0, _AC_FLAT)]
+    if channels == 3:
+        tables.append((0, 1, _DC_CHROMA))
+    for tc, th, (bits, vals) in tables:
+        dht += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    out = b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC2, sof) + seg(0xC4, dht) + dri
+    for sos_body, entropy in scans:
+        out += seg(0xDA, sos_body) + entropy
+    return out + b"\xff\xd9"
