@@ -173,3 +173,113 @@ class TestCompaction:
         assert [s["partition"] for s in stats2] == [dirty[0]["partition"]]
         assert not stats2[0]["skipped_dirty"]
         assert compaction.read_partitioned(spark, root).count() == n0 + 1
+
+
+class TestZoneMaps:
+    """File-level zone maps + pruned scan planning (sources/zonemaps.py):
+    the Iceberg data-file-stats analog. Contract: pruned_read ==
+    full-scan-with-filter exactly, files not in the map are scanned
+    conservatively, refresh is incremental and drops vanished files."""
+
+    def _table(self, spark, root):
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "conv_id": [f"c{i:04d}" for i in range(800)],
+            "turn_idx": [i % 10 for i in range(800)],
+            "text": [f"text {i}" for i in range(800)],
+        }))
+        out = df.withColumn(
+            "part_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(2))
+        )
+        # range-partition by conv_id so per-file conv_id bounds are tight
+        # (the shape a sorted/clustered write produces — zone maps only
+        # prune well on clustered columns, same as Iceberg)
+        out.repartitionByRange(8, "conv_id").write.partitionBy(
+            "part_bucket"
+        ).mode("overwrite").parquet(root)
+        return root
+
+    def test_refresh_and_pruned_read_equivalence(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from xwikire_spark.sources import zonemaps as zm
+
+        root = self._table(spark, str(tmp_path / "t"))
+        st = zm.refresh_zone_maps(spark, root, ["conv_id", "turn_idx"])
+        assert st["added"] == st["total"] > 1 and st["dropped"] == 0
+
+        ranges = {"conv_id": ("c0100", "c0199")}
+        df, stats = zm.pruned_read(spark, root, ranges)
+        want = (
+            spark.read.parquet(root)
+            .where(F.col("conv_id").between("c0100", "c0199"))
+        )
+        assert stats["files_pruned"] > 0  # planning really skipped files
+        assert stats["files_planned"] < stats["files_total"]
+        assert stats["unmapped"] == 0
+        got = sorted(tuple(r) for r in df.select(*want.columns).collect())
+        exp = sorted(tuple(r) for r in want.collect())
+        assert got == exp and len(exp) == 100
+
+    def test_unmapped_files_scanned_conservatively(self, spark, tmp_path):
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from xwikire_spark.sources import zonemaps as zm
+
+        root = self._table(spark, str(tmp_path / "t"))
+        zm.refresh_zone_maps(spark, root, ["conv_id"])
+        # append rows IN the query range without refreshing the map
+        extra = spark.createDataFrame(pd.DataFrame({
+            "conv_id": ["c0150"] * 5,
+            "turn_idx": [99] * 5,
+            "text": ["late append"] * 5,
+        })).withColumn(
+            "part_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(2))
+        )
+        extra.coalesce(1).write.partitionBy("part_bucket").mode(
+            "append"
+        ).parquet(root)
+
+        df, stats = zm.pruned_read(
+            spark, root, {"conv_id": ("c0100", "c0199")}
+        )
+        assert stats["unmapped"] >= 1  # new file has no stats yet...
+        assert df.where("turn_idx = 99").count() == 5  # ...but IS read
+        # refresh stats only the new file, not the whole table
+        st2 = zm.refresh_zone_maps(spark, root, ["conv_id"])
+        assert st2["added"] >= 1 and st2["added"] <= 2
+        _, stats3 = zm.pruned_read(
+            spark, root, {"conv_id": ("c0100", "c0199")}
+        )
+        assert stats3["unmapped"] == 0
+
+    def test_refresh_drops_vanished_files(self, spark, tmp_path):
+        import os as _os
+
+        from xwikire_spark.sources import zonemaps as zm
+
+        root = self._table(spark, str(tmp_path / "t"))
+        zm.refresh_zone_maps(spark, root, ["conv_id"])
+        victim = zm._data_files(root)[0].removeprefix("file://")
+        _os.remove(victim)
+        st = zm.refresh_zone_maps(spark, root, ["conv_id"])
+        assert st["dropped"] == 1 and st["added"] == 0
+        files, stats = zm.plan_files(spark, root, {})
+        assert stats["files_total"] == st["total"] == len(files)
+
+    def test_unstatted_column_no_pruning_but_correct(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from xwikire_spark.sources import zonemaps as zm
+
+        root = self._table(spark, str(tmp_path / "t"))
+        zm.refresh_zone_maps(spark, root, ["conv_id"])
+        df, stats = zm.pruned_read(spark, root, {"turn_idx": (3, 4)})
+        assert stats["files_pruned"] == 0  # turn_idx not stat'd
+        want = spark.read.parquet(root).where(F.col("turn_idx").between(3, 4))
+        assert df.count() == want.count() == 160
