@@ -1408,3 +1408,226 @@ def test_mp4_minimal_full_box_raises_valueerror():
         tiny = struct.pack(">I", 12) + fourcc + b"\x00" * 4  # ver/flags only
         with _pytest.raises(ValueError, match="too small"):
             _parse_stbl(tiny, 0, len(tiny))
+
+
+class TestFlacCodec:
+    """FLAC encode->decode (kernels/flaccodec.py). FLAC is lossless, so
+    the gate is BIT-EXACT sample round-trip through every subframe type
+    and stereo mode, with the STREAMINFO MD5 tying both halves to the
+    spec's canonical sample serialization (not just to each other).
+    Decoder-only paths the simple encoder never emits (LPC subframes,
+    wasted bits) are covered by hand-built spec-conformant streams."""
+
+    def _signal(self, n=5000, seed=3):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        t = np.arange(n)
+        x = (
+            6000 * np.sin(t / 23.0)
+            + 2500 * np.sin(t / 7.1)
+            + rng.integers(-300, 300, n)
+        )
+        return np.clip(np.rint(x), -32768, 32767).astype(np.int64)
+
+    def test_mono_round_trip_exact(self):
+        import numpy as np
+
+        from xwikire_spark.kernels.flaccodec import (
+            decode_flac_int,
+            encode_flac,
+        )
+
+        x = self._signal()
+        blob = encode_flac(16000, x, bps=16, blocksize=1024)
+        rate, bps, got = decode_flac_int(blob)
+        assert (rate, bps) == (16000, 16)
+        assert got.shape == (len(x), 1)
+        assert np.array_equal(got[:, 0], x)
+
+    def test_stereo_modes_exact(self):
+        import numpy as np
+
+        from xwikire_spark.kernels.flaccodec import (
+            decode_flac_int,
+            encode_flac,
+        )
+
+        left = self._signal(seed=1)
+        right = (left * 0.7).astype(np.int64) + self._signal(seed=2) // 40
+        x = np.stack([left, np.clip(right, -32768, 32767)], axis=1)
+        for mode in ("independent", "left_side", "right_side",
+                     "mid_side", "auto"):
+            blob = encode_flac(44100, x, bps=16, blocksize=512, stereo=mode)
+            _, _, got = decode_flac_int(blob)
+            assert np.array_equal(got, x), mode
+
+    def test_subframe_family_and_depths(self):
+        """Constant, verbatim-ish noise, and ramp (fixed-predictor) blocks
+        at 8/16/24-bit depths all survive exactly."""
+        import numpy as np
+
+        from xwikire_spark.kernels.flaccodec import (
+            decode_flac_int,
+            encode_flac,
+        )
+
+        rng = np.random.default_rng(9)
+        for bps in (8, 16, 24):
+            hi = (1 << (bps - 1)) - 1
+            sigs = [
+                np.full(700, -5, np.int64),                      # constant
+                rng.integers(-hi, hi, 700),                      # noise
+                np.arange(700, dtype=np.int64) % (hi // 2),      # ramps
+            ]
+            x = np.concatenate(sigs)
+            blob = encode_flac(8000, x, bps=bps, blocksize=256)
+            rate, got_bps, got = decode_flac_int(blob)
+            assert got_bps == bps
+            assert np.array_equal(got[:, 0], x)
+
+    def test_float_convention_matches_wav(self):
+        import numpy as np
+
+        from xwikire_spark.kernels.flaccodec import decode_flac, encode_flac
+
+        x = self._signal(n=2000)
+        rate, n_ch, f = decode_flac(encode_flac(22050, x, bps=16))
+        assert (rate, n_ch) == (22050, 1)
+        assert f.shape == (2000, 1) and f.dtype == np.float64
+        assert np.abs(f).max() <= 1.0
+        assert np.array_equal(f[:, 0], x / 32768.0)
+
+    def test_corruption_detected(self):
+        import numpy as np
+        import pytest
+
+        from xwikire_spark.kernels.flaccodec import (
+            decode_flac_int,
+            encode_flac,
+        )
+
+        blob = bytearray(encode_flac(8000, self._signal(n=1500), bps=16))
+        blob[len(blob) // 2] ^= 0x40  # flip a bit inside a frame
+        with pytest.raises(ValueError):
+            decode_flac_int(bytes(blob))
+
+    def test_truncation_contract(self):
+        import pytest
+
+        from xwikire_spark.kernels.flaccodec import (
+            decode_flac_int,
+            encode_flac,
+        )
+
+        blob = encode_flac(8000, self._signal(n=3000), bps=16,
+                           blocksize=256)
+        bad = 0
+        for cut in range(8, len(blob) - 1, max(1, len(blob) // 40)):
+            with pytest.raises(ValueError):
+                decode_flac_int(blob[:cut])
+            bad += 1
+        assert bad > 10
+
+    def _handmade_stream(self, subframe_writer, x, bps=16, rate=8000):
+        """Wrap one hand-written subframe into a full spec-conformant
+        stream (STREAMINFO + single frame + CRCs + MD5)."""
+        import struct
+
+        import numpy as np
+
+        from xwikire_spark.kernels import flaccodec as fc
+
+        n = len(x)
+        bw = fc._BitWriter()
+        bw.write(n, 16); bw.write(n, 16)
+        bw.write(0, 24); bw.write(0, 24)
+        bw.write(rate, 20); bw.write(0, 3); bw.write(bps - 1, 5)
+        bw.write(n, 36)
+        arr = np.asarray(x, np.int64)[:, None]
+        streaminfo = bw.bytes() + fc._sample_md5(arr, bps)
+        out = bytearray(b"fLaC") + b"\x80" + len(streaminfo).to_bytes(
+            3, "big") + streaminfo
+
+        hw = fc._BitWriter()
+        hw.write(fc._SYNC, 14); hw.write(0, 2)
+        hw.write(7, 4)       # 16-bit blocksize field at end of header
+        hw.write(0, 4)       # rate from STREAMINFO
+        hw.write(0, 4)       # mono
+        hw.write(fc._SAMPLE_SIZE_RCODES[bps], 3); hw.write(0, 1)
+        fc._write_coded_number(hw, 0)
+        hw.write(n - 1, 16)
+        hdr = hw.bytes()
+        fw = fc._BitWriter()
+        for b in hdr:
+            fw.write(b, 8)
+        fw.write(fc._crc8(hdr), 8)
+        subframe_writer(fw)
+        fw.align()
+        frame = fw.bytes()
+        out += frame + struct.pack(">H", fc._crc16(frame))
+        return bytes(out)
+
+    def test_lpc_subframe_decodes(self):
+        """Hand-built LPC subframe (order 2, quantized coefs + shift) —
+        the path every libFLAC-encoded file takes."""
+        import numpy as np
+
+        from xwikire_spark.kernels import flaccodec as fc
+
+        x = self._signal(n=600).tolist()
+        order, shift, coefs = 2, 4, [29, -14]  # pred ~ 1.8*x1 - 0.9*x2
+
+        def write(fw):
+            fw.write(0, 1)
+            fw.write(32 + order - 1, 6)  # LPC, order 2
+            fw.write(0, 1)               # no wasted bits
+            for v in x[:order]:
+                fw.write(v, 16)
+            prec = 6
+            fw.write(prec - 1, 4)
+            fw.write(shift, 5)
+            for c in coefs:
+                fw.write(c, prec)
+            res = [
+                x[i] - ((coefs[0] * x[i - 1] + coefs[1] * x[i - 2]) >> shift)
+                for i in range(order, len(x))
+            ]
+            fc._write_residual(fw, res)
+
+        blob = self._handmade_stream(write, x)
+        rate, bps, got = fc.decode_flac_int(blob)
+        assert np.array_equal(got[:, 0], np.asarray(x))
+
+    def test_wasted_bits_decode(self):
+        """Samples sharing k low zero bits may be coded shifted with a
+        wasted-bits marker; the decoder must shift them back."""
+        import numpy as np
+
+        from xwikire_spark.kernels import flaccodec as fc
+
+        x = (self._signal(n=400) & ~3).tolist()  # 2 wasted bits
+
+        def write(fw):
+            fw.write(0, 1)
+            fw.write(1, 6)   # VERBATIM
+            fw.write(1, 1)   # wasted-bits flag
+            fw.write(1, 2)   # unary 2 -> wasted = 2
+            for v in x:
+                fw.write(v >> 2, 14)
+
+        blob = self._handmade_stream(write, x)
+        _, _, got = fc.decode_flac_int(blob)
+        assert np.array_equal(got[:, 0], np.asarray(x))
+
+    def test_multimodal_dispatch(self):
+        """sniff_flac routes through the same audio_stats feature path as
+        WAV in operators/multimodal.py."""
+        from xwikire_spark.kernels.flaccodec import encode_flac
+        from xwikire_spark.operators.multimodal import _safe_decode
+
+        blob = encode_flac(16000, self._signal(n=1000), bps=16)
+        feats, err = _safe_decode(blob, fake=False)
+        assert err is None and feats is not None and len(feats) == 8
+        feats2, err2 = _safe_decode(blob[:40], fake=False)
+        assert feats2 is None and err2  # quarantined, not crashed

@@ -582,3 +582,308 @@ class TestPageRank:
         # vertices derived from edges; symmetric cycle -> all ranks 1.0
         assert set(got) == {"x", "y", "z"}
         assert all(abs(r - 1.0) < 1e-12 for r in got.values())
+
+
+class TestIncrementalCanonicalize:
+    """Incremental canonical-map maintenance (canonicalize.py): folding an
+    alias-dict append into a persisted map must equal the batch recompute
+    over old ∪ new (when no surface crosses the fanout guard), at
+    O(delta + touched components) cost — never re-running CC on the
+    corpus."""
+
+    OLD = [
+        # component {Q4, Q9} via shared "paris"; singletons Q1, Q2
+        ("paris", "Q4"), ("paris", "Q9"),
+        ("acme", "Q1"), ("globex", "Q2"),
+        ("berlin", "Q7"), ("hauptstadt", "Q7"),
+    ]
+
+    def _df(self, spark, rows):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["alias", "entity_id"])
+        )
+
+    def _batch_equals_incremental(self, spark, old_rows, new_rows):
+        from xwikire_spark.pipeline.canonicalize import (
+            canonical_entity_map,
+            incremental_canonical_map,
+        )
+
+        old_dict = self._df(spark, old_rows)
+        new_df = self._df(spark, new_rows)
+        base = canonical_entity_map(old_dict)
+        inc = incremental_canonical_map(base, old_dict, new_df)
+        full = canonical_entity_map(
+            old_dict.unionByName(new_df)
+        )
+        got = sorted(map(tuple, inc.collect()))
+        want = sorted(map(tuple, full.collect()))
+        assert got == want
+        return dict(got)
+
+    def test_merge_two_old_components(self, spark):
+        # "bridge" surface links Q1's and Q2's components
+        m = self._batch_equals_incremental(
+            spark, self.OLD, [("bridge", "Q1"), ("bridge", "Q2")]
+        )
+        assert m["Q1"] == m["Q2"] == "Q1"
+        assert m["Q4"] == m["Q9"] == "Q4"  # untouched component intact
+
+    def test_new_smaller_id_becomes_canonical(self, spark):
+        # new entity Q0 < Q4 joins the {Q4, Q9} component via "paris"
+        m = self._batch_equals_incremental(
+            spark, self.OLD, [("paris", "Q0")]
+        )
+        assert m["Q0"] == m["Q4"] == m["Q9"] == "Q0"
+
+    def test_isolated_new_entity_is_singleton(self, spark):
+        m = self._batch_equals_incremental(
+            spark, self.OLD, [("initech", "Q99")]
+        )
+        assert m["Q99"] == "Q99"
+        assert m["Q7"] == "Q7"
+
+    def test_chained_merge_through_new_entity(self, spark):
+        # one new entity with two surfaces merges three components at once
+        m = self._batch_equals_incremental(
+            spark,
+            self.OLD,
+            [("paris", "Q5"), ("berlin", "Q5"), ("acme", "Q5")],
+        )
+        assert m["Q1"] == m["Q4"] == m["Q5"] == m["Q7"] == m["Q9"] == "Q1"
+
+    def test_repeated_append_idempotent(self, spark):
+        from xwikire_spark.pipeline.canonicalize import (
+            canonical_entity_map,
+            incremental_canonical_map,
+        )
+
+        old_dict = self._df(spark, self.OLD)
+        delta = [("bridge", "Q1"), ("bridge", "Q2")]
+        new_df = self._df(spark, delta)
+        base = canonical_entity_map(old_dict)
+        once = incremental_canonical_map(base, old_dict, new_df)
+        # re-delivering the same batch against the updated map + updated
+        # dict changes nothing (streaming retry semantics)
+        twice = incremental_canonical_map(
+            once, old_dict.unionByName(new_df), new_df
+        )
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, twice.collect())
+        )
+
+    def test_monotone_fanout_guard(self, spark):
+        """A surface crossing max_bucket in the append contributes no NEW
+        edges (its delta rows are dropped by the combined-count guard) but
+        previously-merged components stay merged — the documented
+        monotone divergence from the batch guard; the batch recompute is
+        the rewrite path that re-applies it globally."""
+        from xwikire_spark.pipeline.canonicalize import (
+            canonical_entity_map,
+            incremental_canonical_map,
+        )
+
+        old_dict = self._df(spark, self.OLD)
+        base = canonical_entity_map(old_dict)
+        # push "paris" past the guard: combined fanout 2 + 2 > 3
+        delta = [("paris", "Q50"), ("paris", "Q51")]
+        inc = incremental_canonical_map(
+            base, old_dict, self._df(spark, delta), max_bucket=3
+        )
+        m = dict(sorted(map(tuple, inc.collect())))
+        assert m["Q4"] == m["Q9"] == "Q4"  # old merge persists
+        # the hot surface's new rows join as singletons, not via paris
+        assert m["Q50"] == "Q50" and m["Q51"] == "Q51"
+
+    def test_map_side_is_broadcast_only(self, spark, tmp_path):
+        """The full-map rewrite must never shuffle the map: every join
+        that touches the persisted table is a BroadcastHashJoin (semi
+        probe + relabel), so the update is one scan at corpus scale."""
+        from xwikire_spark.pipeline.canonicalize import (
+            canonical_entity_map,
+            incremental_canonical_map,
+        )
+
+        old_dict = self._df(spark, self.OLD)
+        path = str(tmp_path / "canonical_map")
+        canonical_entity_map(old_dict).write.parquet(path)
+        base = spark.read.parquet(path)
+        inc = incremental_canonical_map(
+            base, old_dict, self._df(spark, [("paris", "Q0")])
+        )
+        plan = inc._jdf.queryExecution().executedPlan().toString()
+        # the map's FileScan feeds BroadcastHashJoins only — no Exchange
+        # directly above a scan of the persisted map
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning(canonical_id" in line \
+                    or "Exchange hashpartitioning(entity_id" in line \
+                    or "Exchange hashpartitioning(_id" in line:
+                raise AssertionError(
+                    f"persisted map shuffled:\n{line}\n\n{plan}"
+                )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestStreamingCanonicalization:
+    """streaming/canonical.py: the persisted base+remap+newids overlay.
+    Gate: after every availableNow drop, read_canonical_map equals the
+    batch canonical_entity_map over all rows so far — including remap
+    CHAINS (a component merged in batch 1 whose target merges again in
+    batch 3 must chase to the final label)."""
+
+    BATCHES = [
+        # batch 0: two components ({Q4,Q9} via paris) + singletons
+        [("paris", "Q4"), ("paris", "Q9"),
+         ("acme", "Q1"), ("globex", "Q2")],
+        # batch 1: Q2 joins the paris component -> canonical drops to Q2
+        [("paris", "Q2")],
+        # batch 2: Q0 joins it -> canonical drops again (remap chain
+        # Q4 -> Q2 -> Q0 must compose), plus an unrelated new singleton
+        [("paris", "Q0"), ("initech", "Q77")],
+    ]
+
+    def _alias_df(self, spark, rows):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["alias", "entity_id"])
+        )
+
+    def test_streaming_end_to_end_matches_batch(self, spark, tmp_path):
+        import os
+
+        from xwikire_spark.pipeline.canonicalize import canonical_entity_map
+        from xwikire_spark.streaming.canonical import (
+            read_canonical_map,
+            run_incremental_canonicalization,
+        )
+
+        input_dir = str(tmp_path / "alias_in")
+        map_dir = str(tmp_path / "map")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(input_dir, exist_ok=True)
+        seen = []
+        for batch in self.BATCHES:
+            self._alias_df(spark, batch).coalesce(1).write.mode(
+                "append"
+            ).parquet(input_dir)
+            seen.extend(batch)
+            run_incremental_canonicalization(
+                spark, input_dir, map_dir, ckpt
+            ).awaitTermination(120)
+            got = sorted(
+                map(tuple, read_canonical_map(spark, map_dir).collect())
+            )
+            want = sorted(map(
+                tuple,
+                canonical_entity_map(self._alias_df(spark, seen)).collect(),
+            ))
+            assert got == want, f"after {len(seen)} rows"
+        m = dict(got)
+        assert m["Q4"] == m["Q9"] == m["Q2"] == m["Q0"] == "Q0"
+        assert m["Q77"] == "Q77"
+        # the remap chained: historical label Q4 resolves to Q0
+        remap = {
+            r["id"]: r["component"]
+            for r in spark.read.parquet(map_dir + "/remap").collect()
+        }
+        assert remap.get("Q4") == "Q0" and remap.get("Q2") == "Q0"
+
+    def test_retry_idempotent(self, spark, tmp_path):
+        """Re-applying a batch (availableNow retry after a crash between
+        the newids write and the checkpoint commit) must not change the
+        resolved map."""
+        from xwikire_spark.streaming.canonical import (
+            apply_alias_batch,
+            read_canonical_map,
+        )
+
+        map_dir = str(tmp_path / "map")
+        d0 = self._alias_df(spark, self.BATCHES[0])
+        apply_alias_batch(spark, map_dir, d0, d0, batch_id=0)
+        d1 = self._alias_df(spark, self.BATCHES[1])
+        dict_all = d0.unionByName(d1)
+        apply_alias_batch(spark, map_dir, dict_all, d1, batch_id=1)
+        before = sorted(
+            map(tuple, read_canonical_map(spark, map_dir).collect())
+        )
+        apply_alias_batch(spark, map_dir, dict_all, d1, batch_id=1)
+        after = sorted(
+            map(tuple, read_canonical_map(spark, map_dir).collect())
+        )
+        assert before == after
+        assert dict(before)["Q4"] == "Q2"
+
+    def test_compaction_preserves_view(self, spark, tmp_path):
+        import os
+
+        from xwikire_spark.streaming.canonical import (
+            apply_alias_batch,
+            compact_canonical_map,
+            read_canonical_map,
+        )
+
+        map_dir = str(tmp_path / "map")
+        d0 = self._alias_df(spark, self.BATCHES[0])
+        apply_alias_batch(spark, map_dir, d0, d0, batch_id=0)
+        d1 = self._alias_df(spark, self.BATCHES[1])
+        apply_alias_batch(
+            spark, map_dir, d0.unionByName(d1), d1, batch_id=1
+        )
+        before = sorted(
+            map(tuple, read_canonical_map(spark, map_dir).collect())
+        )
+        st = compact_canonical_map(spark, map_dir)
+        assert st["rows"] == len(before)
+        assert not os.path.exists(map_dir + "/remap")
+        assert not os.path.exists(map_dir + "/newids")
+        after = sorted(
+            map(tuple, read_canonical_map(spark, map_dir).collect())
+        )
+        assert before == after
+        # the overlay keeps composing cleanly after a compaction
+        d2 = self._alias_df(spark, self.BATCHES[2])
+        apply_alias_batch(
+            spark, map_dir,
+            d0.unionByName(d1).unionByName(d2), d2, batch_id=2,
+        )
+        m = dict(sorted(
+            map(tuple, read_canonical_map(spark, map_dir).collect())
+        ))
+        assert m["Q4"] == m["Q2"] == "Q0" and m["Q77"] == "Q77"
+
+
+class TestManifestZoneMaps:
+    def test_manifest_run_refreshes_zone_maps(self, spark, tmp_path, corpus):
+        """run_with_manifests(zone_map_cols=...) leaves a queryable
+        _zonemaps table beside the triples and pruned_read over conv_id
+        matches the full-scan filter exactly."""
+        from xwikire_spark.pipeline.manifests import run_with_manifests
+        from xwikire_spark.sources import zonemaps as zm
+
+        _, _, transcripts, alias_df, pred_df = corpus
+        out = str(tmp_path / "kg")
+
+        def build(t):
+            return extract_triples(t, alias_df, pred_df)
+
+        full = run_with_manifests(
+            spark, transcripts, build, out, n_buckets=4,
+            zone_map_cols=["conv_id"],
+        )
+        troot = out + "/triples"
+        lo, hi = "conv-00005", "conv-00020"
+        got, stats = zm.pruned_read(spark, troot, {"conv_id": (lo, hi)})
+        want = full.where(F.col("conv_id").between(lo, hi))
+        assert stats["unmapped"] == 0
+        assert sorted(map(tuple, got.select(*want.columns).collect())) \
+            == sorted(map(tuple, want.collect()))
+        # resume path: a second run adds no buckets and keeps the map
+        run_with_manifests(
+            spark, transcripts, build, out, n_buckets=4,
+            zone_map_cols=["conv_id"],
+        )
+        _, stats2 = zm.pruned_read(spark, troot, {"conv_id": (lo, hi)})
+        assert stats2["unmapped"] == 0

@@ -9,9 +9,10 @@ gated by an all-256-codes round-trip identity — IMA/DVI ADPCM (format
 predictor-coefficient table + per-block header), both gated by
 encode->decode SNR.
 Any channel count, WAVE_FORMAT_EXTENSIBLE unwrapped, chunk walker
-tolerant of extra chunks (LIST/fact/cue) and odd-size padding. Remaining
-compressed-audio formats (MP3/AAC/FLAC) raise NotImplementedError — swap
-in ffmpeg/libsndfile in production; the Spark-side plumbing is
+tolerant of extra chunks (LIST/fact/cue) and odd-size padding. FLAC has
+its own real codec (``kernels/flaccodec.py``); the remaining
+compressed-audio formats (MP3/AAC) raise NotImplementedError — swap in
+ffmpeg/libsndfile in production; the Spark-side plumbing is
 format-agnostic.
 
 Decoded form: ``(sample_rate, n_channels, samples)`` with samples a
@@ -326,8 +327,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     else:
         raise NotImplementedError(
             f"WAV audio format {audio_format} ({bits}-bit) — PCM, float32, "
-            f"G.711 and IMA ADPCM only without libsndfile (MP3/AAC/FLAC "
-            f"need ffmpeg in production)"
+            f"G.711 and IMA ADPCM only without libsndfile (MP3/AAC "
+            f"need ffmpeg in production; FLAC has kernels/flaccodec.py)"
         )
     if n_ch < 1:
         raise ValueError("WAV with zero channels")

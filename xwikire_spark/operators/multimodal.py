@@ -5,9 +5,10 @@ Decode status (round 4): PNG, binary-PPM, baseline JPEG and GIF87a/89a
 decode/resize/re-encode are REAL (dependency-free codecs in
 ``kernels/imagecodec.py`` / ``jpegcodec.py`` / ``gifcodec.py``), RIFF/WAVE
 PCM audio decode + feature extraction is REAL (``kernels/wavcodec.py``),
-and MJPEG-in-MP4 video frame decode is REAL (``kernels/mp4codec.py``) — so
+FLAC decode is REAL (``kernels/flaccodec.py``, round 5), and
+MJPEG-in-MP4 video frame decode is REAL (``kernels/mp4codec.py``) — so
 ``fake=False`` works end-to-end for those formats. Remaining codecs (WebP,
-compressed audio MP3/AAC/FLAC, inter-frame video H.264/VP9) still raise
+compressed audio MP3/AAC, inter-frame video H.264/VP9) still raise
 NotImplementedError without PIL/libvips/ffmpeg; ``fake=True`` keeps the
 deterministic byte-stat path for them. The Spark-side plumbing — schema,
 partitioning, UDF signature, batch shape — is identical across all paths.
@@ -60,6 +61,7 @@ def _decode_image_bytes(payload: bytes, fake: bool):
     # WebP/compressed-audio raise NotImplementedError (caught by caller).
     if not payload:
         return None
+    from xwikire_spark.kernels.flaccodec import decode_flac, sniff_flac
     from xwikire_spark.kernels.imagecodec import channel_stats, decode_image
     from xwikire_spark.kernels.wavcodec import (
         audio_stats,
@@ -69,6 +71,8 @@ def _decode_image_bytes(payload: bytes, fake: bool):
 
     if sniff_wav(payload):
         return audio_stats(*decode_wav(payload))
+    if sniff_flac(payload):
+        return audio_stats(*decode_flac(payload))
     return channel_stats(*decode_image(payload))
 
 

@@ -151,8 +151,12 @@ def pagerank(
       hash-aggregate shuffle keyed by dst — hot entities (high in-degree)
       are handled by the partial aggregate, not a skewed join, because
       sum is associative;
-    - the dangling-mass scalar rides a broadcast 1-row crossJoin (no
-      driver round-trip inside the loop);
+    - the dangling-mass scalar rides the iteration's OWN checkpoint job
+      via ``observe()`` (the connected_components trick): each iteration
+      observes sum(rank where no out-edges) over the ranks it just
+      computed, which is exactly the mass the NEXT iteration
+      redistributes — so an iteration is ONE Spark job, with no separate
+      anti-join + broadcast job for the scalar;
     - ranks localCheckpoint() per iteration: truncates the lineage so
       iteration i+1's plan doesn't replay iterations 0..i (same pattern
       as connected_components).
@@ -179,15 +183,41 @@ def pagerank(
                 " supplied vertices frame; vertices must be a superset of"
                 " edge endpoints or rank mass leaks every iteration"
             )
-    v = vertices.select("id").localCheckpoint()
-    n = v.count()
-    if n == 0:
-        return v.withColumn("rank", F.lit(0.0))
+    from pyspark.sql import Observation
+
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # vertices carry a has_out flag once, so every iteration can observe
+    # the dangling mass for free instead of re-deriving membership; the
+    # vertex count rides the same checkpoint job via observe()
+    vobs = Observation()
+    v = (
+        vertices.select("id")
+        .join(
+            out_deg.select(
+                F.col("src").alias("id"), F.lit(True).alias("has_out")
+            ),
+            "id",
+            "left",
+        )
+        .observe(vobs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n = dict(vobs.get).get("n") or 0
+    if n == 0:
+        return v.select("id").withColumn("rank", F.lit(0.0))
     # edges pre-joined with out-degree ONCE (reused every iteration)
     ew = e.join(out_deg, "src").localCheckpoint()
 
-    ranks = v.select("id", F.lit(1.0).alias("rank")).localCheckpoint()
+    dang_expr = F.sum(
+        F.when(F.col("has_out").isNull(), F.col("rank")).otherwise(0.0)
+    ).alias("dang")
+    obs = Observation()
+    ranks = (
+        v.select("id", F.lit(1.0).alias("rank"), "has_out")
+        .observe(obs, dang_expr)
+        .localCheckpoint()
+    )
+    dang = dict(obs.get).get("dang") or 0.0
     for _ in range(n_iter):
         msgs = (
             ew.join(ranks, ew.src == ranks.id)
@@ -196,24 +226,23 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("m").alias("msg"))
         )
-        # dangling vertices (no out-edges) leak their rank: redistribute
-        # it uniformly, as a broadcast 1-row scalar
-        dangling = (
-            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
-        )
+        obs = Observation()
         ranks = (
             v.join(msgs, "id", "left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping)
                     * (F.coalesce(F.col("msg"), F.lit(0.0))
-                       + F.col("dang") / F.lit(float(n)))
+                       + F.lit(dang) / F.lit(float(n)))
                 ).alias("rank"),
+                "has_out",
             )
+            .observe(obs, dang_expr)
             .localCheckpoint()
         )
-    return ranks
+        # the mass the vertices we just ranked fail to redistribute —
+        # consumed by the NEXT iteration; riding the checkpoint job
+        dang = dict(obs.get).get("dang") or 0.0
+    return ranks.select("id", "rank")

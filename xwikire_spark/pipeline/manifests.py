@@ -91,6 +91,7 @@ def run_with_manifests(
     build_fn,
     out_dir: str,
     n_buckets: int = 16,
+    zone_map_cols: list[str] | None = None,
 ) -> DataFrame:
     """Run ``build_fn(transcripts_subset) -> triples`` bucket-group-wise with
     resume. Returns the full output (all buckets) read back from disk.
@@ -98,6 +99,11 @@ def run_with_manifests(
     Buckets are processed in a handful of *groups* (not one job per bucket —
     at 10^12 rows a per-bucket job would underutilize the cluster; a group
     is one job whose tasks span many buckets).
+
+    ``zone_map_cols``: when set, ``sources.zonemaps.refresh_zone_maps``
+    runs after the bucket write, statting ONLY the files this run added
+    (incremental) — so downstream range queries on those columns (e.g.
+    conv_id) can plan pruned file lists instead of full table scans.
     """
     todo = pending_buckets(spark, transcripts, out_dir, n_buckets)
     bucketed = with_bucket(transcripts, n_buckets)
@@ -168,5 +174,12 @@ def run_with_manifests(
             )
         )
         manifest_rows.write.mode("append").parquet(_manifest_path(out_dir))
+
+        if zone_map_cols:
+            from xwikire_spark.sources.zonemaps import refresh_zone_maps
+
+            refresh_zone_maps(
+                spark, os.path.join(out_dir, "triples"), zone_map_cols
+            )
 
     return spark.read.parquet(os.path.join(out_dir, "triples"))
