@@ -1228,9 +1228,13 @@ class TestIncrementalDedup:
             s_df,
         )
         plan = p1._jdf.queryExecution().executedPlan().toString()
+        # identify the bands-table scan by its schema, NOT a path
+        # substring: Spark truncates Location at
+        # spark.sql.maxMetadataStringLength (100 chars), so under a long
+        # pytest tmp_path the directory name never survives into the line
         scans = [
             ln for ln in plan.splitlines()
-            if "FileScan" in ln and "bands" in ln
+            if "FileScan" in ln and "band_hash" in ln
         ]
         assert scans, "no FileScan of the bands table in the plan"
         for ln in scans:

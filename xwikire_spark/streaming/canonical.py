@@ -98,15 +98,25 @@ def read_canonical_map(spark: SparkSession, map_dir: str) -> DataFrame:
 
 def _compose_remap(old: DataFrame, delta: DataFrame) -> DataFrame:
     """historical->current ∘ current->newer: chase old values through the
-    delta, then append the delta's own (disjoint) keys."""
+    delta, then append the delta's own (disjoint) keys. ``delta`` is
+    O(batch) — broadcast it on both joins so the persisted remap is
+    scanned once with no shuffle, however large it has grown between
+    compactions."""
     chased = old.join(
-        delta.select(
-            F.col("id").alias("_k"), F.col("component").alias("_v")
+        F.broadcast(
+            delta.select(
+                F.col("id").alias("_k"), F.col("component").alias("_v")
+            )
         ),
         old.component == F.col("_k"),
         "left",
     ).select("id", F.coalesce("_v", "component").alias("component"))
-    return chased.unionByName(delta.join(old, "id", "anti"))
+    # keys are disjoint by the label-monotonicity invariant (a component
+    # id that merged away never becomes current again); the anti-join is
+    # a guard against double-counting on retries, not a correctness need.
+    return chased.unionByName(
+        delta.join(F.broadcast(old.select("id")), "id", "anti")
+    )
 
 
 def _swap_write(df: DataFrame, path: str, single_file: bool = False) -> None:
@@ -136,12 +146,15 @@ def apply_alias_batch(
     new_rows: DataFrame,
     batch_id: int,
     max_bucket: int | None = None,
+    compact_threshold: int | None = 100_000,
 ) -> dict:
     """Fold one alias-row batch into the persisted map. ``alias_dict`` is
     the full dictionary as of AFTER this batch (the streaming input dir —
     including the batch is harmless: new-new edges dedup, and the fanout
-    guard sees the same combined counts a retry would). Returns driver
-    stats {"remapped": n, "new_entities": n}."""
+    guard sees the same combined counts a retry would). When the composed
+    remap outgrows ``compact_threshold`` rows, ``compact_canonical_map``
+    fires to fold the overlays into base/ (None disables). Returns driver
+    stats {"remapped": n, "new_entities": n, "remap_size": n}."""
     from xwikire_spark.pipeline.canonicalize import (
         DEFAULT_MAX_ALIAS_FANOUT,
         delta_collision_edges,
@@ -157,24 +170,37 @@ def apply_alias_batch(
     )
     new_ids = new_rows.select("entity_id").distinct()
     remap_delta, fresh = merge_components_delta(cur, edges, new_ids)
-    # remap_delta/fresh come out of connected_components localCheckpoints
-    # (already materialized, O(batch) small); the writes below are the
-    # only corpus-facing IO and both are delta-sized.
+    # Lineage discipline: only the CC output inside merge_components_delta
+    # is checkpointed. ``remap_delta`` is a lazy filter over that
+    # checkpoint (safe), but ``fresh`` ALSO joins ``relevant``/``looked``,
+    # whose lineage scans the live map — including the remap/ files the
+    # swap below deletes. Sever it (and take both counts) BEFORE any
+    # swap; both frames are O(batch)-small so the eager localCheckpoint
+    # costs one delta-sized job.
+    fresh = fresh.localCheckpoint()
+    n_fresh = fresh.count()
+    n_remap = remap_delta.count()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     fresh.withColumn("batch_id", F.lit(batch_id)).write.mode(
         "overwrite"
     ).partitionBy("batch_id").parquet(new_p)
     old_remap = _read_or_empty(spark, remap_p, REMAP_SCHEMA)
     composed = _compose_remap(old_remap, remap_delta)
-    # materialize BEFORE the swap: composed reads the remap table it is
-    # about to replace
-    rows = composed.collect()
-    composed_df = spark.createDataFrame(rows, REMAP_SCHEMA) if rows \
-        else spark.createDataFrame([], REMAP_SCHEMA)
-    _swap_write(composed_df, remap_p, single_file=True)
+    # materialize BEFORE the swap (composed scans the remap table it is
+    # about to replace) — localCheckpoint keeps the blocks on executors
+    # instead of collecting the whole remap through the driver.
+    composed = composed.localCheckpoint()
+    n_composed = composed.count()
+    _swap_write(composed, remap_p, single_file=True)
+    if compact_threshold is not None and n_composed > compact_threshold:
+        # single-maintainer: we are the one process that owns the map
+        # (foreachBatch runs batches serially), so folding the overlays
+        # into base/ here is safe. Keeps the remap broadcast-small.
+        compact_canonical_map(spark, map_dir)
     return {
-        "remapped": remap_delta.count(),
-        "new_entities": fresh.count(),
+        "remapped": n_remap,
+        "new_entities": n_fresh,
+        "remap_size": n_composed,
     }
 
 
@@ -184,6 +210,7 @@ def run_incremental_canonicalization(
     map_dir: str,
     checkpoint_dir: str,
     max_bucket: int | None = None,
+    compact_threshold: int | None = 100_000,
 ) -> StreamingQuery:
     """availableNow streaming over an alias-dict parquet directory: each
     micro-batch of new (alias, entity_id) rows updates the persisted
@@ -200,6 +227,7 @@ def run_incremental_canonicalization(
             batch_df.select("alias", "entity_id"),
             batch_id,
             max_bucket,
+            compact_threshold,
         )
 
     stream = (
