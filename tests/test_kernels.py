@@ -1631,3 +1631,136 @@ class TestFlacCodec:
         assert err is None and feats is not None and len(feats) == 8
         feats2, err2 = _safe_decode(blob[:40], fake=False)
         assert feats2 is None and err2  # quarantined, not crashed
+
+
+class TestMp3Meta:
+    """MPEG frame-layer metadata (kernels/mp3meta.py). Validation is by
+    an INDEPENDENT hand-packed header writer in this class — the frame
+    length is computed here with the canonical published formula
+    (144*bitrate/rate + padding for MPEG1 Layer III), written differently
+    from the module's samples*(bitrate/8)/rate form, so the two
+    derivations cross-check. Sample decode is a documented permanent
+    skip (module docstring) gated here as NotImplementedError + F5
+    quarantine routing."""
+
+    _VBITS = {"1": 3, "2": 2, "2.5": 0}
+    _LBITS = {1: 3, 2: 2, 3: 1}
+    _RATE_IDX = {44100: 0, 48000: 1, 32000: 2,
+                 22050: 0, 24000: 1, 16000: 2}
+    # kbps -> bitrate index for MPEG1 Layer III
+    _BR_IDX_V1L3 = {32: 1, 40: 2, 48: 3, 56: 4, 64: 5, 80: 6, 96: 7,
+                    112: 8, 128: 9, 160: 10, 192: 11, 224: 12, 256: 13,
+                    320: 14}
+
+    def _header(self, version="1", layer=3, kbps=128, rate=44100,
+                padding=0, mono=False, crc=False):
+        b1 = (0xE0 | (self._VBITS[version] << 3)
+              | (self._LBITS[layer] << 1) | (0 if crc else 1))
+        if version == "1" and layer == 3:
+            br = self._BR_IDX_V1L3[kbps]
+        elif version == "2" and layer == 3:
+            br = {8: 1, 16: 2, 24: 3, 32: 4, 40: 5, 48: 6, 56: 7,
+                  64: 8}[kbps]
+        elif version == "1" and layer == 1:
+            br = {32: 1, 64: 2, 96: 3, 128: 4, 160: 5, 192: 6,
+                  224: 7, 256: 8}[kbps]
+        else:
+            raise AssertionError("unsupported test combo")
+        b2 = (br << 4) | (self._RATE_IDX[rate] << 2) | (padding << 1)
+        b3 = (3 << 6) if mono else 0
+        return bytes([0xFF, b1, b2, b3])
+
+    def _frame(self, kbps=128, rate=44100, padding=0, fill=0xAA, **kw):
+        h = self._header(kbps=kbps, rate=rate, padding=padding, **kw)
+        # canonical MPEG1 Layer III length formula (independent of module)
+        flen = 144 * kbps * 1000 // rate + padding
+        return h + bytes([fill]) * (flen - 4)
+
+    def test_cbr_walk(self):
+        from xwikire_spark.kernels import mp3meta as m
+
+        blob = b"".join(self._frame(padding=i % 2) for i in range(20))
+        assert m.sniff_mp3(blob)
+        info = m.mp3_info(blob)
+        assert info["n_frames"] == 20
+        assert info["version"] == "1" and info["layer"] == 3
+        assert info["sample_rate"] == 44100 and info["channels"] == 2
+        assert info["duration_sec"] == 20 * 1152 / 44100
+        assert info["bitrate_kbps_mean"] == 128.0
+        assert not info["vbr"]
+
+    def test_vbr_mean_and_flag(self):
+        from xwikire_spark.kernels import mp3meta as m
+
+        blob = (self._frame(kbps=128) + self._frame(kbps=192)
+                + self._frame(kbps=64))
+        info = m.mp3_info(blob)
+        assert info["vbr"] and info["n_frames"] == 3
+        assert info["bitrate_kbps_mean"] == (128 + 192 + 64) / 3
+
+    def test_id3v2_skip_and_id3v1_trailer(self):
+        from xwikire_spark.kernels import mp3meta as m
+
+        # syncsafe size 0x0201 = 2*128+1 = 257 payload bytes
+        tag = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 2, 1]) + b"\xff" * 257
+        blob = tag + self._frame() * 3 + b"TAG" + b"\x00" * 125
+        assert m.sniff_mp3(blob)
+        info = m.mp3_info(blob)
+        assert info["id3v2_bytes"] == 10 + 257
+        assert info["n_frames"] == 3
+
+    def test_xing_frame_count(self):
+        from xwikire_spark.kernels import mp3meta as m
+
+        f = bytearray(self._frame(fill=0))
+        # stereo MPEG1 L3, no CRC: side info 32 bytes after the 4 header
+        p = 4 + 32
+        f[p:p + 4] = b"Xing"
+        f[p + 4:p + 8] = (1).to_bytes(4, "big")      # FRAMES flag
+        f[p + 8:p + 12] = (777).to_bytes(4, "big")
+        blob = bytes(f) + self._frame() * 2
+        info = m.mp3_info(blob)
+        assert info["xing_frames"] == 777 and info["vbr"]
+
+    def test_other_layers_and_versions(self):
+        from xwikire_spark.kernels import mp3meta as m
+
+        # MPEG2 Layer III: 576 samples, 72*br/rate
+        f = self._header(version="2", layer=3, kbps=64, rate=24000)
+        flen = 72 * 64000 // 24000
+        info = m.mp3_info(f + b"\x00" * (flen - 4))
+        assert info["n_frames"] == 1
+        assert info["duration_sec"] == 576 / 24000
+        # MPEG1 Layer I: slot-of-4 padding arithmetic, 384 samples
+        h = self._header(version="1", layer=1, kbps=128, rate=32000,
+                         padding=1)
+        flen = (12 * 128000 // 32000 + 1) * 4
+        info = m.mp3_info(h + b"\x00" * (flen - 4))
+        assert info["n_frames"] == 1 and info["duration_sec"] == 384 / 32000
+
+    def test_desync_and_sniff_rejection(self):
+        import pytest
+
+        from xwikire_spark.kernels import mp3meta as m
+
+        assert not m.sniff_mp3(b"\x00" * 64)
+        # a lone 0xFF Ex pair mid-garbage: lookahead must reject
+        fake = b"\xff\xfb\x90\x00" + b"\x12" * 500
+        assert not m.sniff_mp3(fake)
+        good = self._frame() * 2
+        with pytest.raises(ValueError):
+            m.mp3_info(good + b"\x13\x37\x13\x37" + b"\x00" * 100)
+        # truncated FINAL frame tolerated (streaming rip)
+        assert m.mp3_info(good + self._frame()[:50])["n_frames"] == 3
+
+    def test_decode_skip_and_quarantine(self):
+        import pytest
+
+        from xwikire_spark.kernels import mp3meta as m
+        from xwikire_spark.operators.multimodal import _safe_decode
+
+        blob = self._frame() * 2
+        with pytest.raises(NotImplementedError):
+            m.decode_mp3(blob)
+        feats, err = _safe_decode(blob, fake=False)
+        assert feats is None and err and err.startswith("unsupported:")

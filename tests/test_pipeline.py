@@ -854,6 +854,115 @@ class TestStreamingCanonicalization:
         ))
         assert m["Q4"] == m["Q2"] == "Q0" and m["Q77"] == "Q77"
 
+    def test_auto_compaction_fires_at_threshold(self, spark, tmp_path):
+        """VERDICT r5 #3 done-gate: with compact_threshold=0 every batch
+        that grows the remap folds the overlays into base/ immediately —
+        remap/ and newids/ are gone after the batch, the composed view is
+        unchanged, and the next batch still merges correctly (so the
+        threshold keeps the per-batch compose input broadcast-small by
+        construction: it can never exceed one batch's delta + threshold)."""
+        import os
+
+        from xwikire_spark.pipeline.canonicalize import canonical_entity_map
+        from xwikire_spark.streaming.canonical import (
+            apply_alias_batch,
+            read_canonical_map,
+        )
+
+        map_dir = str(tmp_path / "map")
+        seen: list[tuple[str, str]] = []
+        dfs = []
+        for i, batch in enumerate(self.BATCHES):
+            seen.extend(batch)
+            dfs.append(self._alias_df(spark, batch))
+            dict_all = dfs[0]
+            for d in dfs[1:]:
+                dict_all = dict_all.unionByName(d)
+            st = apply_alias_batch(
+                spark, map_dir, dict_all, dfs[-1], batch_id=i,
+                compact_threshold=0,
+            )
+            if st["remap_size"] > 0:
+                assert not os.path.exists(map_dir + "/remap"), i
+                assert not os.path.exists(map_dir + "/newids"), i
+            got = sorted(
+                map(tuple, read_canonical_map(spark, map_dir).collect())
+            )
+            want = sorted(map(
+                tuple,
+                canonical_entity_map(
+                    self._alias_df(spark, seen)
+                ).collect(),
+            ))
+            assert got == want, f"after batch {i}"
+
+
+class TestIncrementalCanonicalizationE2E:
+    """Extraction wired to the incrementally-maintained map end-to-end:
+    after each of 3 alias-dict drops, ``extract_triples`` →
+    ``canonicalize_triples(entity_map=read_canonical_map(...))`` must
+    emit EXACTLY the triples of the batch pipeline (map recomputed from
+    scratch over all drops). The earlier gates stopped at map equality;
+    this extends them to the emitted triple set, including a collision
+    that only merges across drops (Paris→Q4 in drop 0, Paris→Q9 in
+    drop 2)."""
+
+    def _drops(self):
+        rows = datagen.alias_rows()
+        groups = [
+            {"Q1", "Q2", "Q3", "Q4", "Q10"},
+            {"Q5", "Q6", "Q7"},
+            {"Q8", "Q9"},
+        ]
+        drops = [
+            [r for r in rows if r["entity_id"] in g] for g in groups
+        ]
+        assert sum(map(len, drops)) == len(rows)
+        return drops
+
+    def test_triples_match_batch_after_each_drop(
+        self, spark, corpus, tmp_path
+    ):
+        import os
+
+        from xwikire_spark.streaming.canonical import (
+            read_canonical_map,
+            run_incremental_canonicalization,
+        )
+
+        _, _, transcripts, _, pred_df = corpus
+        input_dir = str(tmp_path / "alias_in")
+        map_dir = str(tmp_path / "map")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(input_dir)
+        key = ["conv_id", "subj", "pred", "obj", "turn_idx", "sent_idx",
+               "id"]
+        seen: list[dict] = []
+        for drop in self._drops():
+            spark.createDataFrame(pd.DataFrame(drop)).select(
+                "alias", "entity_id"
+            ).coalesce(1).write.mode("append").parquet(input_dir)
+            seen.extend(drop)
+            run_incremental_canonicalization(
+                spark, input_dir, map_dir, ckpt
+            ).awaitTermination(120)
+            alias_so_far = spark.createDataFrame(pd.DataFrame(seen))
+            t = extract_triples(transcripts, alias_so_far, pred_df)
+            inc = canonicalize_triples(
+                t, None, entity_map=read_canonical_map(spark, map_dir)
+            )
+            bat = canonicalize_triples(t, alias_so_far)
+            got = {tuple(r[k] for k in key) for r in inc.collect()}
+            want = {tuple(r[k] for k in key) for r in bat.collect()}
+            assert got == want, f"after {len(seen)} alias rows"
+        # the cross-drop collision merged: Q9 resolved to Q4 in the
+        # incremental map and no emitted triple carries Q9
+        m = dict(map(tuple, read_canonical_map(spark, map_dir).collect()))
+        assert m["Q9"] == "Q4"
+        assert inc.where(
+            (F.col("subj") == "Q9") | (F.col("obj") == "Q9")
+        ).count() == 0
+
 
 class TestManifestZoneMaps:
     def test_manifest_run_refreshes_zone_maps(self, spark, tmp_path, corpus):

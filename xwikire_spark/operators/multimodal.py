@@ -63,6 +63,7 @@ def _decode_image_bytes(payload: bytes, fake: bool):
         return None
     from xwikire_spark.kernels.flaccodec import decode_flac, sniff_flac
     from xwikire_spark.kernels.imagecodec import channel_stats, decode_image
+    from xwikire_spark.kernels.mp3meta import decode_mp3, sniff_mp3
     from xwikire_spark.kernels.wavcodec import (
         audio_stats,
         decode_wav,
@@ -73,6 +74,12 @@ def _decode_image_bytes(payload: bytes, fake: bool):
         return audio_stats(*decode_wav(payload))
     if sniff_flac(payload):
         return audio_stats(*decode_flac(payload))
+    if sniff_mp3(payload):
+        # documented permanent decode skip (kernels/mp3meta.py):
+        # raises NotImplementedError -> F5 quarantine "unsupported:" tag,
+        # the same seam production swaps ffmpeg into. Frame-layer
+        # metadata stays available via mp3meta.mp3_info.
+        return decode_mp3(payload)
     return channel_stats(*decode_image(payload))
 
 

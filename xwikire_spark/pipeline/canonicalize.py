@@ -342,14 +342,23 @@ def incremental_canonical_map(
 
 
 def canonicalize_triples(
-    triples: DataFrame, alias_dict: DataFrame
+    triples: DataFrame,
+    alias_dict: DataFrame | None,
+    entity_map: DataFrame | None = None,
 ) -> DataFrame:
     """Rewrite subj/obj to canonical component ids and re-key the triple id.
     The entity->canonical map is tiny relative to the fact table — broadcast
-    both joins (J2 pattern); the triple table never shuffles here."""
+    both joins (J2 pattern); the triple table never shuffles here.
+
+    ``entity_map`` (entity_id, canonical_id), when given, is used as-is —
+    the streaming path passes ``streaming.canonical.read_canonical_map``
+    so a map maintained incrementally across alias-dict drops feeds the
+    same rewrite as the batch recompute (equality gated by
+    ``TestIncrementalCanonicalizationE2E``)."""
     from xwikire_spark.functions.ids import triple_id
 
-    m = canonical_entity_map(alias_dict)
+    m = entity_map if entity_map is not None \
+        else canonical_entity_map(alias_dict)
     subj_map = m.select(
         F.col("entity_id").alias("subj"), F.col("canonical_id").alias("subj_canon")
     )
