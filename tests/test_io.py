@@ -283,3 +283,186 @@ class TestZoneMaps:
         assert stats["files_pruned"] == 0  # turn_idx not stat'd
         want = spark.read.parquet(root).where(F.col("turn_idx").between(3, 4))
         assert df.count() == want.count() == 160
+
+
+class TestSnapshots:
+    """sources/snapshots.py: snapshot-isolated commits + time travel (the
+    Iceberg metadata-layer analog). Core contracts: readers plan from the
+    manifest (never a directory listing), the pointer swings only after
+    data+manifest are durable (crash => parent snapshot intact), old
+    versions keep their exact file sets across appends/compactions until
+    expired, and a lost commit race can never clobber the winner."""
+
+    def _df(self, spark, ids):
+        return spark.createDataFrame(
+            [(i, f"doc{i}") for i in ids], "id bigint, text string"
+        )
+
+    def _ids(self, df):
+        return sorted(r["id"] for r in df.collect())
+
+    def test_append_time_travel_and_log(self, spark, tmp_path):
+        from xwikire_spark.sources import snapshots as sn
+
+        root = str(tmp_path / "t")
+        st1 = sn.commit_append(spark, root, self._df(spark, range(5)))
+        st2 = sn.commit_append(spark, root, self._df(spark, range(5, 8)))
+        assert (st1["version"], st2["version"]) == (1, 2)
+        assert st2["parent"] == 1
+        assert self._ids(sn.read_table(spark, root)) == list(range(8))
+        # time travel: v1 unchanged by the later append
+        assert self._ids(sn.read_table(spark, root, version=1)) == list(
+            range(5)
+        )
+        log = sn.snapshot_log(root)
+        assert [m["version"] for m in log] == [1, 2]
+        assert all(not m["orphan"] for m in log)
+        assert log[1]["op"] == "append"
+
+    def test_reader_never_lists_directories(self, spark, tmp_path):
+        """A parquet file on disk that no snapshot references is
+        invisible — the atomicity property crashes rely on."""
+        import os
+
+        from xwikire_spark.sources import snapshots as sn
+
+        root = str(tmp_path / "t")
+        sn.commit_append(spark, root, self._df(spark, range(4)))
+        rogue = os.path.join(root, "snapdata", "rogue")
+        self._df(spark, range(100, 110)).write.parquet(rogue)
+        assert self._ids(sn.read_table(spark, root)) == list(range(4))
+
+    def test_overwrite_and_compact_are_snapshot_isolated(
+        self, spark, tmp_path
+    ):
+        from xwikire_spark.sources import snapshots as sn
+
+        root = str(tmp_path / "t")
+        sn.commit_append(
+            spark, root, self._df(spark, range(6)).repartition(4)
+        )
+        sn.commit_append(spark, root, self._df(spark, range(6, 9)))
+        before = self._ids(sn.read_table(spark, root))
+        st = sn.compact_snapshot(spark, root, target_files=1)
+        assert st["op"] == "compact" and st["added_files"] == 1
+        assert self._ids(sn.read_table(spark, root)) == before
+        # the pre-compaction snapshot still reads its ORIGINAL files
+        assert self._ids(sn.read_table(spark, root, version=2)) == before
+        assert self._ids(sn.read_table(spark, root, version=1)) == list(
+            range(6)
+        )
+        sn.commit_overwrite(spark, root, self._df(spark, [42]))
+        assert self._ids(sn.read_table(spark, root)) == [42]
+        assert self._ids(sn.read_table(spark, root, version=3)) == before
+
+    def test_expire_drops_unreferenced_files_only(self, spark, tmp_path):
+        import os
+
+        from xwikire_spark.sources import snapshots as sn
+
+        root = str(tmp_path / "t")
+        sn.commit_append(spark, root, self._df(spark, range(6)))
+        sn.commit_append(spark, root, self._df(spark, range(6, 9)))
+        sn.compact_snapshot(spark, root, target_files=1)
+        st = sn.expire_snapshots(spark, root, keep_last=1)
+        assert st["retained"] == [3]
+        assert st["dropped_snapshots"] == 2
+        assert st["dropped_files"] > 0
+        # current still reads; expired versions are gone
+        assert self._ids(sn.read_table(spark, root)) == list(range(9))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            sn.read_table(spark, root, version=1)
+        # the v1/v2 file groups were physically removed (compact rewrote
+        # everything, so only v3's group remains)
+        groups = os.listdir(os.path.join(root, "snapdata"))
+        assert len(groups) == 1
+
+    def test_lost_race_cannot_clobber_winner(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A commit that loses the pointer race raises SnapshotConflict
+        AFTER the winner's commit is fully durable — and the winner's
+        manifest at the contested version slot is untouched. The loser's
+        data + staging are orphans that expire_snapshots sweeps."""
+        import os
+
+        import pytest as _pytest
+
+        from xwikire_spark.sources import snapshots as sn
+
+        root = str(tmp_path / "t")
+        sn.commit_append(spark, root, self._df(spark, range(3)))
+
+        orig = sn._write_data
+        fired = {}
+
+        def interlope(df, r):
+            out = orig(df, r)
+            if "done" not in fired:  # the interloper wins the race once
+                fired["done"] = True
+                sn.commit_append(spark, root, self._df(spark, [77]))
+            return out
+
+        monkeypatch.setattr(sn, "_write_data", interlope)
+        with _pytest.raises(sn.SnapshotConflict):
+            sn.commit_append(spark, root, self._df(spark, [99]))
+        monkeypatch.setattr(sn, "_write_data", orig)
+        # winner's v2 is intact; the loser's row never appears
+        assert sn.current_version(root) == 2
+        assert self._ids(sn.read_table(spark, root)) == [0, 1, 2, 77]
+        # loser left orphans (data group + staging); expire sweeps them
+        n_groups = len(os.listdir(os.path.join(root, "snapdata")))
+        assert n_groups == 3  # v1 + winner + loser-orphan
+        sn.expire_snapshots(spark, root, keep_last=2)
+        assert len(os.listdir(os.path.join(root, "snapdata"))) == 2
+        assert self._ids(sn.read_table(spark, root)) == [0, 1, 2, 77]
+        staging = [
+            n for n in os.listdir(os.path.join(root, "_snapshots"))
+            if n.endswith(".tmp")
+        ]
+        assert staging == []
+
+    def test_pruned_read_composes_with_zone_maps(self, spark, tmp_path):
+        """Snapshot isolation x zone-map pruning: the plan starts from
+        the SNAPSHOT's file list (an old version never plans files a
+        later commit added), then drops files whose bounds prove no
+        match; the residual filter keeps exact semantics."""
+        from pyspark.sql import functions as F
+
+        from xwikire_spark.sources import snapshots as sn
+        from xwikire_spark.sources import zonemaps as zm
+
+        root = str(tmp_path / "t")
+        # 4 range-disjoint files in v1 via repartitionByRange
+        sn.commit_append(
+            spark, root,
+            self._df(spark, range(100)).repartitionByRange(4, "id"),
+        )
+        sn.commit_append(spark, root, self._df(spark, range(100, 200)))
+        zm.refresh_zone_maps(spark, root, ["id"])
+        df, st = sn.pruned_read(spark, root, {"id": (10, 20)})
+        assert st["files_pruned"] > 0 and st["unmapped"] == 0
+        want = self._ids(
+            sn.read_table(spark, root).where(F.col("id").between(10, 20))
+        )
+        assert self._ids(df) == want == list(range(10, 21))
+        # time travel + pruning: v1 never plans v2's files
+        df1, st1 = sn.pruned_read(
+            spark, root, {"id": (150, 160)}, version=1
+        )
+        assert df1.count() == 0
+        assert st1["files_total"] < st["files_total"]
+
+    def test_empty_and_missing_versions(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from xwikire_spark.sources import snapshots as sn
+
+        root = str(tmp_path / "t")
+        with _pytest.raises(ValueError):
+            sn.read_table(spark, root)
+        sn.commit_append(spark, root, self._df(spark, [1]))
+        with _pytest.raises(ValueError):
+            sn.read_table(spark, root, version=9)

@@ -1764,3 +1764,451 @@ class TestMp3Meta:
             m.decode_mp3(blob)
         feats, err = _safe_decode(blob, fake=False)
         assert feats is None and err and err.startswith("unsupported:")
+
+
+class TestAacMeta:
+    """ADTS frame-layer metadata (kernels/aacmeta.py). Validation is by an
+    INDEPENDENT hand-packed header writer: this class concatenates the 56
+    header bits into one integer MSB-first and serializes big-endian,
+    while the module parses byte-indexed shift/mask fields — the two
+    derivations cross-check. Sample decode is a documented permanent skip
+    gated as NotImplementedError + F5 quarantine routing."""
+
+    _SF_IDX = {96000: 0, 48000: 3, 44100: 4, 22050: 7, 8000: 11}
+    _PROF = {"Main": 0, "LC": 1, "SSR": 2, "LTP": 3}
+
+    def _header(self, profile="LC", rate=44100, chan_cfg=2, frame_len=0,
+                crc=False, mpeg4=True, blocks=1, fullness=0x7FF):
+        val = 0xFFF                              # syncword
+        val = (val << 1) | (0 if mpeg4 else 1)   # ID
+        val = (val << 2) | 0                     # layer (must be 00)
+        val = (val << 1) | (0 if crc else 1)     # protection_absent
+        val = (val << 2) | self._PROF[profile]
+        val = (val << 4) | self._SF_IDX[rate]
+        val = (val << 1) | 0                     # private
+        val = (val << 3) | chan_cfg
+        val = (val << 4) | 0                     # orig/home/copyright x2
+        val = (val << 13) | frame_len
+        val = (val << 11) | fullness
+        val = (val << 2) | (blocks - 1)
+        return val.to_bytes(7, "big")
+
+    def _frame(self, payload_len=100, fill=0xAA, **kw):
+        hlen = 9 if kw.get("crc") else 7
+        h = self._header(frame_len=hlen + payload_len, **kw)
+        crc_bytes = b"\x00\x00" if kw.get("crc") else b""
+        return h + crc_bytes + bytes([fill]) * payload_len
+
+    def test_cbr_walk(self):
+        from xwikire_spark.kernels import aacmeta as m
+
+        blob = self._frame() * 20
+        assert m.sniff_aac(blob)
+        info = m.aac_info(blob)
+        assert info["n_frames"] == 20
+        assert info["profile"] == "LC" and info["mpeg4"]
+        assert info["sample_rate"] == 44100 and info["channels"] == 2
+        assert info["duration_sec"] == 20 * 1024 / 44100
+        # payload-only bitrate: 100 bytes per 1024/44100 sec
+        want = 100 * 8 * 20 / (20 * 1024 / 44100) / 1000
+        assert abs(info["bitrate_kbps_mean"] - want) < 1e-9
+        assert not info["vbr"] and not info["crc"]
+
+    def test_vbr_and_multiblock(self):
+        from xwikire_spark.kernels import aacmeta as m
+
+        blob = self._frame(payload_len=80) + self._frame(payload_len=120)
+        info = m.aac_info(blob)
+        assert info["vbr"] and info["n_frames"] == 2
+        # 2 raw data blocks -> 2048 samples in one frame
+        info = m.aac_info(self._frame(blocks=2))
+        assert info["duration_sec"] == 2048 / 44100
+        h = m.parse_adts_header(self._frame(blocks=4))
+        assert h["raw_data_blocks"] == 4 and h["samples"] == 4096
+
+    def test_crc_header_length(self):
+        from xwikire_spark.kernels import aacmeta as m
+
+        blob = self._frame(crc=True) * 3
+        info = m.aac_info(blob)
+        assert info["crc"] and info["n_frames"] == 3
+        h = m.parse_adts_header(blob)
+        assert h["header_len"] == 9 and h["frame_len"] == 109
+
+    def test_fields_roundtrip(self):
+        from xwikire_spark.kernels import aacmeta as m
+
+        for rate, idx in self._SF_IDX.items():
+            h = m.parse_adts_header(self._header(rate=rate, frame_len=7))
+            assert h["sample_rate"] == rate, idx
+        for prof in self._PROF:
+            h = m.parse_adts_header(
+                self._header(profile=prof, frame_len=7)
+            )
+            assert h["profile"] == prof
+        h = m.parse_adts_header(
+            self._header(chan_cfg=7, frame_len=7, mpeg4=False)
+        )
+        assert h["channels"] == 8 and not h["mpeg4"]
+        assert m.parse_adts_header(
+            self._header(chan_cfg=0, frame_len=7)
+        )["channels"] is None  # PCE-signalled
+
+    def test_desync_sniff_and_cross_format(self):
+        import pytest
+
+        from xwikire_spark.kernels import aacmeta as a
+        from xwikire_spark.kernels import mp3meta as p
+
+        assert not a.sniff_aac(b"\x00" * 64)
+        # lone header mid-garbage: lookahead rejects
+        assert not a.sniff_aac(self._header(frame_len=50) + b"\x12" * 500)
+        good = self._frame() * 2
+        with pytest.raises(ValueError):
+            a.aac_info(good + b"\x13\x37" + b"\x00" * 20)
+        # truncated FINAL frame tolerated
+        assert a.aac_info(good + self._frame()[:5])["n_frames"] == 2
+        # frame_len shorter than its own header is rejected
+        assert a.parse_adts_header(self._header(frame_len=3)) is None
+        # the two audio sniffers never both claim a payload: MP3 headers
+        # carry layer!=00 where ADTS demands 00, and ADTS layer=00 is
+        # reserved in MPEG audio
+        mp3 = bytes([0xFF, 0xFB, 0x90, 0x00])
+        mp3 += b"\xAA" * (144 * 128000 // 44100 - 4)
+        assert p.sniff_mp3(mp3 * 2) and not a.sniff_aac(mp3 * 2)
+        assert a.sniff_aac(good) and not p.sniff_mp3(good)
+
+    def test_decode_skip_and_quarantine(self):
+        import pytest
+
+        from xwikire_spark.kernels import aacmeta as m
+        from xwikire_spark.operators.multimodal import _safe_decode
+
+        blob = self._frame() * 2
+        with pytest.raises(NotImplementedError):
+            m.decode_aac(blob)
+        feats, err = _safe_decode(blob, fake=False)
+        assert feats is None and err and err.startswith("unsupported:")
+
+
+class TestWebpMeta:
+    """WebP container metadata (kernels/webpmeta.py). The packers here
+    derive the bit layouts independently (VP8L packs width/height into
+    the 32-bit word via arithmetic on the full value; VP8 packs the
+    14-bit dims + 2-bit scale as one 16-bit integer) so parser and packer
+    cross-check. Pixel decode is a documented permanent skip."""
+
+    def _riff(self, *chunks):
+        import struct
+
+        body = b"WEBP"
+        for fourcc, data in chunks:
+            body += fourcc + struct.pack("<I", len(data)) + data
+            if len(data) & 1:
+                body += b"\x00"  # chunks pad to even length
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def _vp8l(self, w, h, alpha=False):
+        bits = (w - 1) + ((h - 1) * (1 << 14)) + (
+            (1 << 28) if alpha else 0
+        )
+        return b"\x2f" + bits.to_bytes(4, "little")
+
+    def _vp8(self, w, h, hscale=0, vscale=0):
+        import struct
+
+        tag = (0 << 0) | (3 << 1) | (1 << 4) | (2000 << 5)  # keyframe
+        return (
+            tag.to_bytes(3, "little") + b"\x9d\x01\x2a"
+            + struct.pack("<H", w | (hscale << 14))
+            + struct.pack("<H", h | (vscale << 14))
+            + b"\x00" * 8
+        )
+
+    def _vp8x(self, w, h, flags):
+        return (
+            bytes([flags]) + b"\x00" * 3
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+        )
+
+    def test_lossless(self):
+        from xwikire_spark.kernels import webpmeta as m
+
+        blob = self._riff((b"VP8L", self._vp8l(100, 50, alpha=True)))
+        assert m.sniff_webp(blob)
+        info = m.webp_info(blob)
+        assert info["variant"] == "lossless"
+        assert (info["width"], info["height"]) == (100, 50)
+        assert info["alpha"] and info["n_frames"] == 1
+        # 14-bit maxima round-trip
+        info = m.webp_info(
+            self._riff((b"VP8L", self._vp8l(16384, 16384)))
+        )
+        assert (info["width"], info["height"]) == (16384, 16384)
+        assert not info["alpha"]
+
+    def test_lossy_scale_bits_masked(self):
+        from xwikire_spark.kernels import webpmeta as m
+
+        blob = self._riff((b"VP8 ", self._vp8(320, 240, hscale=3,
+                                              vscale=1)))
+        info = m.webp_info(blob)
+        assert info["variant"] == "lossy"
+        assert (info["width"], info["height"]) == (320, 240)
+
+    def test_extended_animation(self):
+        from xwikire_spark.kernels import webpmeta as m
+
+        blob = self._riff(
+            (b"VP8X", self._vp8x(2000, 1000, 0x10 | 0x02)),
+            (b"ANIM", b"\x00" * 6),
+            (b"ANMF", b"\x00" * 17),  # odd size exercises pad skipping
+            (b"ANMF", b"\x00" * 17),
+            (b"ANMF", b"\x00" * 17),
+        )
+        info = m.webp_info(blob)
+        assert info["variant"] == "extended"
+        assert (info["width"], info["height"]) == (2000, 1000)
+        assert info["alpha"] and info["animation"]
+        assert info["n_frames"] == 3
+        assert not info["icc"] and not info["exif"]
+
+    def test_alph_chunk_and_flags(self):
+        from xwikire_spark.kernels import webpmeta as m
+
+        blob = self._riff(
+            (b"VP8X", self._vp8x(6, 4, 0x20 | 0x08 | 0x04)),
+            (b"ALPH", b"\x00" * 9),
+            (b"VP8 ", self._vp8(6, 4)),
+        )
+        info = m.webp_info(blob)
+        assert info["alpha"]  # from ALPH, not the flags byte
+        assert info["icc"] and info["exif"] and info["xmp"]
+        assert info["n_frames"] == 1
+
+    def test_rejection_contract(self):
+        import pytest
+
+        from xwikire_spark.kernels import webpmeta as m
+
+        assert not m.sniff_webp(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 8)
+        assert not m.sniff_webp(b"\x00" * 32)
+        good = self._riff((b"VP8L", self._vp8l(8, 8)))
+        with pytest.raises(ValueError):
+            m.webp_info(good[:-3])  # truncated chunk
+        bad_ver = bytearray(self._vp8l(8, 8))
+        bad_ver[4] |= 0xE0  # version bits nonzero
+        with pytest.raises(ValueError):
+            m.webp_info(self._riff((b"VP8L", bytes(bad_ver))))
+        interframe = bytearray(self._vp8(8, 8))
+        interframe[0] |= 1
+        with pytest.raises(ValueError):
+            m.webp_info(self._riff((b"VP8 ", bytes(interframe))))
+        with pytest.raises(ValueError):
+            m.webp_info(self._riff((b"ALPH", b"\x00" * 4)))
+
+    def test_decode_skip_and_quarantine(self):
+        import pytest
+
+        from xwikire_spark.kernels import webpmeta as m
+        from xwikire_spark.operators.multimodal import _safe_decode
+
+        blob = self._riff((b"VP8L", self._vp8l(8, 8)))
+        with pytest.raises(NotImplementedError):
+            m.decode_webp(blob)
+        feats, err = _safe_decode(blob, fake=False)
+        assert feats is None and err and err.startswith("unsupported:")
+        assert "webp_info" in err  # the tag names the metadata tier
+
+
+class TestH264Meta:
+    """H.264 SPS metadata (kernels/h264meta.py). The packer here is an
+    INDEPENDENT Exp-Golomb bit-writer (accumulates a bit string, then
+    bytes), so parser and packer cross-check; dimensions pin the crop
+    arithmetic (1080p = 1088 coded lines minus an 8-line bottom crop).
+    Sample decode is a documented permanent skip."""
+
+    class _W:
+        def __init__(self):
+            self.bits = ""
+
+        def u(self, v, n):
+            self.bits += format(v, f"0{n}b")
+            return self
+
+        def ue(self, v):
+            code = format(v + 1, "b")
+            self.bits += "0" * (len(code) - 1) + code
+            return self
+
+        def se(self, v):
+            self.ue(2 * v - 1 if v > 0 else -2 * v)
+            return self
+
+        def nal(self, header=0x67):
+            bits = self.bits + "1"  # rbsp_stop_bit
+            bits += "0" * (-len(bits) % 8)
+            return bytes([header]) + bytes(
+                int(bits[i:i + 8], 2) for i in range(0, len(bits), 8)
+            )
+
+    def _sps_baseline_640x480(self):
+        w = self._W()
+        w.u(66, 8).u(0xC0, 8).u(30, 8).ue(0)   # profile/constraints/level/id
+        w.ue(0).ue(0).ue(0)                     # frame_num / poc0 / poc_lsb
+        w.ue(1).u(0, 1)                         # max_ref / gaps
+        w.ue(39).ue(29).u(1, 1).u(1, 1)         # 40x30 MBs, frame_mbs, d8x8
+        w.u(0, 1).u(0, 1)                       # no crop, no vui
+        return w.nal()
+
+    def _sps_high_1080p(self):
+        w = self._W()
+        w.u(100, 8).u(0, 8).u(41, 8).ue(0)
+        w.ue(1).ue(2).ue(2).u(0, 1).u(0, 1)     # 4:2:0, 10-bit, no scaling
+        w.ue(0).ue(0).ue(0)
+        w.ue(4).u(0, 1)
+        w.ue(119).ue(67).u(1, 1).u(1, 1)        # 120x68 MBs
+        w.u(1, 1).ue(0).ue(0).ue(0).ue(4)       # crop: bottom 4 (=8 lines)
+        w.u(0, 1)
+        return w.nal()
+
+    def test_baseline_sps(self):
+        from xwikire_spark.kernels.h264meta import parse_sps
+
+        info = parse_sps(self._sps_baseline_640x480())
+        assert info["profile"] == "Baseline" and info["profile_idc"] == 66
+        assert info["level"] == 3.0
+        assert (info["width"], info["height"]) == (640, 480)
+        assert info["chroma_format"] == "4:2:0"
+        assert info["bit_depth_luma"] == 8
+        assert info["frame_mbs_only"] and info["max_num_ref_frames"] == 1
+
+    def test_high_profile_1080p_crop(self):
+        from xwikire_spark.kernels.h264meta import parse_sps
+
+        info = parse_sps(self._sps_high_1080p())
+        assert info["profile"] == "High" and info["level"] == 4.1
+        assert (info["width"], info["height"]) == (1920, 1080)
+        assert info["bit_depth_luma"] == 10
+        assert info["max_num_ref_frames"] == 4
+
+    def test_interlaced_height_doubles(self):
+        from xwikire_spark.kernels.h264meta import parse_sps
+
+        w = self._W()
+        w.u(77, 8).u(0, 8).u(30, 8).ue(0)
+        w.ue(0).ue(0).ue(0)                     # frame_num/poc0/poc_lsb
+        w.ue(2).u(0, 1)                         # max_ref / gaps
+        w.ue(44).ue(17).u(0, 1)                 # 45 MBs wide, 18 units
+        w.u(0, 1)                               # mb_adaptive
+        w.u(1, 1).u(0, 1).u(0, 1)
+        info = parse_sps(w.nal())
+        assert info["profile"] == "Main"
+        assert not info["frame_mbs_only"]
+        assert (info["width"], info["height"]) == (720, 576)  # PAL
+
+    def test_emulation_prevention(self):
+        from xwikire_spark.kernels.h264meta import parse_sps
+
+        raw = self._sps_baseline_640x480()
+        # independent emulation inserter (§7.4.1.1 inverse)
+        out = bytearray(raw[:1])
+        zeros = 0
+        for b in raw[1:]:
+            if zeros >= 2 and b <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        emulated = bytes(out)
+        # the constraint byte 0xC0 avoids accidental 00 00 in this SPS;
+        # force one: constraints=0, level=0, and sps_id=63 (ue code
+        # 0000001000000 -> first payload byte 0x02) makes the raw RBSP
+        # contain 00 00 02, which MUST get a 03 inserted
+        w = self._W()
+        w.u(66, 8).u(0, 8).u(0, 8).ue(63)
+        w.ue(0).ue(0).ue(0).ue(1).u(0, 1)
+        w.ue(39).ue(29).u(1, 1).u(1, 1).u(0, 1).u(0, 1)
+        raw2 = w.nal()
+        out2 = bytearray(raw2[:1])
+        zeros = 0
+        for b in raw2[1:]:
+            if zeros >= 2 and b <= 3:
+                out2.append(3)
+                zeros = 0
+            out2.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        emulated2 = bytes(out2)
+        assert emulated2 != raw2  # an emulation byte WAS inserted
+        assert parse_sps(emulated) == parse_sps(raw)
+        assert (parse_sps(emulated2)["width"],
+                parse_sps(emulated2)["height"]) == (640, 480)
+
+    def _avcc(self, sps):
+        return (bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+                + len(sps).to_bytes(2, "big") + sps
+                + b"\x01" + (0).to_bytes(2, "big"))
+
+    def test_avcc_record_and_mp4_integration(self):
+        import json
+
+        from xwikire_spark.kernels.h264meta import avc_info
+        from xwikire_spark.kernels.jpegcodec import encode_jpeg
+        from xwikire_spark.kernels.mp4codec import (
+            encode_mjpeg_mp4,
+            video_codec_config,
+            video_samples,
+        )
+        from xwikire_spark.operators.multimodal import _media_info_bytes
+
+        sps = self._sps_high_1080p()
+        rec = self._avcc(sps)
+        info = avc_info(rec)
+        assert (info["width"], info["height"]) == (1920, 1080)
+        assert info["nal_length_size"] == 4 and info["n_sps"] == 1
+        # an avc1 MP4 still indexes (sampling plan works for any codec),
+        # carries its avcC through video_codec_config, and the metadata
+        # tier reports SPS facts without any sample decode
+        frames = [b"\x00\x00\x00\x02\x09\x10"] * 3
+        blob = encode_mjpeg_mp4(
+            1920, 1080, frames, fps=5,
+            entry_fourcc=b"avc1", codec_config=(b"avcC", rec),
+        )
+        tr = video_samples(blob)
+        assert tr.fourcc == "avc1" and len(tr.samples) == 3
+        got = video_codec_config(blob)
+        assert got == ("avc1", "avcC", rec)
+        fmt, meta = _media_info_bytes(blob)
+        assert fmt == "mp4" and meta["codec"] == "avc1"
+        assert meta["avc"]["profile"] == "High"
+        assert (meta["avc"]["width"], meta["avc"]["height"]) == (1920, 1080)
+        json.dumps(meta)  # the operator serializes this verbatim
+        # the MJPEG default carries no config box
+        mj = encode_mjpeg_mp4(8, 8, [encode_jpeg(8, 8, 3,
+                                                 bytes(192))], fps=1)
+        assert video_codec_config(mj) is None
+
+    def test_rejection_contract(self):
+        import pytest
+
+        from xwikire_spark.kernels.h264meta import (
+            avc_info,
+            decode_avc,
+            parse_sps,
+        )
+
+        with pytest.raises(ValueError):
+            parse_sps(b"")
+        with pytest.raises(ValueError):
+            parse_sps(b"\x68\x42")          # PPS NAL, not SPS
+        with pytest.raises(ValueError):
+            parse_sps(b"\xe7\x42\x00\x1e")  # forbidden_zero_bit
+        with pytest.raises(ValueError):
+            parse_sps(self._sps_high_1080p()[:6])  # truncated mid-field
+        with pytest.raises(ValueError):
+            avc_info(b"\x02" + b"\x00" * 10)  # bad version
+        with pytest.raises(ValueError):
+            avc_info(self._avcc(self._sps_baseline_640x480())[:9])
+        with pytest.raises(NotImplementedError):
+            decode_avc(b"anything")

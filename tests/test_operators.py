@@ -1347,3 +1347,127 @@ class TestIncrementalDedup:
         assert "bh_part" in bands.columns
         assert bands.count() == len(rows) * 8
         assert bands.select("doc_id").distinct().count() == len(rows)
+
+
+class TestMediaMetadata:
+    """media_metadata: the header-only corpus-indexing tier — per-payload
+    (format, typed-JSON meta) without any pixel/sample decode, F5
+    quarantine on corrupt rows. Golden values cross-check each kernel's
+    metadata parser against the ENCODER that produced the payload (dims,
+    rates, durations known by construction)."""
+
+    def _media_df(self, spark):
+        import numpy as np
+
+        from xwikire_spark.kernels.flaccodec import encode_flac
+        from xwikire_spark.kernels.imagecodec import encode_png
+        from xwikire_spark.kernels.jpegcodec import encode_jpeg
+        from xwikire_spark.kernels.mp4codec import encode_mjpeg_mp4
+        from xwikire_spark.kernels.wavcodec import encode_wav
+
+        px = bytes(bytearray(range(72)))  # 6x4 RGB
+        t = np.arange(8000) / 8000.0
+        tone = (0.25 * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+        mp3 = bytes([0xFF, 0xFB, 0x90, 0x00])
+        mp3 += b"\xAA" * (144 * 128000 // 44100 - 4)
+        aac_len = 7 + 100
+        aac = bytes([0xFF, 0xF1, 0x50, 0x80 | (aac_len >> 11),
+                     (aac_len >> 3) & 0xFF,
+                     ((aac_len & 7) << 5) | 0x1F, 0xFC])
+        aac += b"\xBB" * 100
+        webp_bits = (64 - 1) | ((32 - 1) << 14)
+        webp = (b"RIFF" + (4 + 8 + 5 + 1).to_bytes(4, "little")
+                + b"WEBPVP8L" + (5).to_bytes(4, "little")
+                + b"\x2f" + webp_bits.to_bytes(4, "little") + b"\x00")
+        frames = [encode_jpeg(8, 8, 3, bytes(bytearray(192)))] * 3
+        rows = [
+            ("png1", "image", encode_png(6, 4, 3, px)),
+            ("jpg1", "image", encode_jpeg(6, 4, 3, px)),
+            ("wav1", "audio", encode_wav(8000, tone)),
+            ("flac1", "audio", encode_flac(8000, tone)),
+            ("mp31", "audio", mp3 * 10),
+            ("aac1", "audio", aac * 10),
+            ("webp1", "image", webp),
+            ("mp41", "video", encode_mjpeg_mp4(8, 8, frames, fps=5)),
+            ("bad1", "image", b"\x13\x37" * 20),
+            ("empty1", "image", b""),
+        ]
+        return spark.createDataFrame(
+            [(i, k, bytearray(p), None, None, None, None)
+             for i, k, p in rows],
+            "media_id string, kind string, payload binary, mime string, "
+            "width int, height int, duration_ms int",
+        )
+
+    def test_formats_and_golden_meta(self, spark):
+        import json
+
+        from xwikire_spark.operators.multimodal import media_metadata
+
+        got = {r["media_id"]: r
+               for r in media_metadata(self._media_df(spark)).collect()}
+        ok = {k: json.loads(v["meta"]) for k, v in got.items()
+              if v["meta"] is not None}
+        assert got["png1"]["format"] == "png"
+        assert (ok["png1"]["width"], ok["png1"]["height"]) == (6, 4)
+        assert ok["png1"]["channels"] == 3 and not ok["png1"]["palette"]
+        assert got["jpg1"]["format"] == "jpeg"
+        assert (ok["jpg1"]["width"], ok["jpg1"]["height"]) == (6, 4)
+        assert not ok["jpg1"]["progressive"]
+        assert got["wav1"]["format"] == "wav"
+        assert ok["wav1"]["codec"] == "pcm"
+        assert ok["wav1"]["sample_rate"] == 8000
+        assert abs(ok["wav1"]["duration_sec"] - 1.0) < 1e-9
+        assert got["flac1"]["format"] == "flac"
+        assert ok["flac1"]["sample_rate"] == 8000
+        assert abs(ok["flac1"]["duration_sec"] - 1.0) < 1e-9
+        assert got["mp31"]["format"] == "mp3"
+        assert ok["mp31"]["n_frames"] == 10
+        assert ok["mp31"]["bitrate_kbps_mean"] == 128.0
+        assert got["aac1"]["format"] == "aac"
+        assert ok["aac1"]["n_frames"] == 10
+        assert ok["aac1"]["profile"] == "LC"
+        assert got["webp1"]["format"] == "webp"
+        assert (ok["webp1"]["width"], ok["webp1"]["height"]) == (64, 32)
+        assert got["mp41"]["format"] == "mp4"
+        assert ok["mp41"]["codec"] == "jpeg"
+        assert (ok["mp41"]["width"], ok["mp41"]["height"]) == (8, 8)
+        assert ok["mp41"]["n_samples"] == 3
+
+    def test_quarantine_rows(self, spark):
+        from xwikire_spark.operators.multimodal import media_metadata
+
+        got = {r["media_id"]: r
+               for r in media_metadata(self._media_df(spark)).collect()}
+        assert got["bad1"]["meta"] is None
+        assert got["bad1"]["err"].startswith("meta_error:")
+        assert got["empty1"]["err"] == "empty_payload"
+        assert got["bad1"]["n_bytes"] == 40
+        # quarantine never aborted the good rows
+        assert sum(1 for r in got.values() if r["err"] is None) == 8
+
+    def test_no_sample_decode_on_hot_path(self, spark, monkeypatch):
+        """The indexing tier must stay header-only: poison every sample/
+        pixel decoder and the operator still succeeds on every payload."""
+        import xwikire_spark.kernels.flaccodec as fc
+        import xwikire_spark.kernels.imagecodec as ic
+        import xwikire_spark.kernels.jpegcodec as jc
+        import xwikire_spark.kernels.wavcodec as wc
+        from xwikire_spark.operators.multimodal import _media_info_bytes
+
+        def boom(*a, **k):
+            raise AssertionError("sample decode reached from metadata tier")
+
+        monkeypatch.setattr(ic, "decode_image", boom)
+        monkeypatch.setattr(ic, "decode_png", boom)
+        monkeypatch.setattr(jc, "decode_jpeg", boom)
+        monkeypatch.setattr(wc, "decode_wav", boom)
+        monkeypatch.setattr(fc, "decode_flac", boom)
+        # driver-side check of the same function the executor runs (the
+        # monkeypatch cannot cross the Python-worker boundary)
+        for r in self._media_df(spark).collect():
+            b = bytes(r["payload"]) if r["payload"] is not None else b""
+            if r["media_id"] in ("bad1", "empty1"):
+                continue
+            fmt, meta = _media_info_bytes(b)
+            assert fmt is not None and meta

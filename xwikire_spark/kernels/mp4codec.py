@@ -276,15 +276,63 @@ def _full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
     return _box(fourcc, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
 
 
+def video_codec_config(payload: bytes) -> tuple[str, str, bytes] | None:
+    """The first video track's codec configuration box, when its sample
+    entry carries one after the 86-byte VisualSampleEntry header:
+    (entry_fourcc, config_fourcc, config_body) — 'avcC' for H.264
+    (parsed by ``kernels.h264meta.avc_info``), 'hvcC' for H.265, 'esds'
+    for MPEG-4 ASP. None when the entry has no config box (e.g. 'jpeg')
+    or the file has no video track."""
+    try:
+        moov = _find(payload, 0, len(payload), [b"moov"])
+    except ValueError:
+        return None
+    if not moov:
+        return None
+    for fourcc, tb, te in _boxes(payload, *moov):
+        if fourcc != b"trak":
+            continue
+        mdia = _find(payload, tb, te, [b"mdia"])
+        if not mdia:
+            continue
+        hdlr = _find(payload, *mdia, [b"hdlr"])
+        if not hdlr or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        stsd = _find(payload, *mdia, [b"minf", b"stbl", b"stsd"])
+        if not stsd:
+            return None
+        p = stsd[0] + 4  # full-box header
+        entry = p + 4  # past entry_count
+        if entry + 8 > stsd[1]:
+            return None
+        (esize,) = struct.unpack(">I", payload[entry : entry + 4])
+        entry_fourcc = payload[entry + 4 : entry + 8].decode(
+            "ascii", "replace"
+        )
+        eend = min(entry + esize, stsd[1])
+        if entry + 86 + 8 > eend:
+            return None
+        for cfcc, cb, ce in _boxes(payload, entry + 86, eend):
+            if cfcc in (b"avcC", b"hvcC", b"esds"):
+                return entry_fourcc, cfcc.decode("ascii"), payload[cb:ce]
+        return None
+    return None
+
+
 def encode_mjpeg_mp4(
     width: int,
     height: int,
     frames: list[bytes],
     fps: int = 1,
     timescale: int = 1000,
+    entry_fourcc: bytes = b"jpeg",
+    codec_config: tuple[bytes, bytes] | None = None,
 ) -> bytes:
     """Structurally-valid single-track MJPEG MP4: ftyp + mdat(frames
-    concatenated, one chunk) + moov(trak/mdia/mdhd/hdlr/minf/stbl)."""
+    concatenated, one chunk) + moov(trak/mdia/mdhd/hdlr/minf/stbl).
+    ``entry_fourcc``/``codec_config=(box_fourcc, body)`` let tests build
+    non-MJPEG tracks (e.g. 'avc1' + an 'avcC' record) — the index/
+    metadata paths handle any codec; only MJPEG decodes."""
     if not frames:
         raise ValueError("encode_mjpeg_mp4 needs at least one frame")
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
@@ -294,10 +342,13 @@ def encode_mjpeg_mp4(
     delta = timescale // fps
     duration = delta * len(frames)
 
-    # VisualSampleEntry 'jpeg'
+    cfg = (
+        _box(codec_config[0], codec_config[1]) if codec_config else b""
+    )
+    # VisualSampleEntry
     entry = (
-        struct.pack(">I", 86)
-        + b"jpeg"
+        struct.pack(">I", 86 + len(cfg))
+        + entry_fourcc
         + b"\x00" * 6 + struct.pack(">H", 1)          # reserved + dref idx
         + b"\x00" * 16                                 # pre_defined/reserved
         + struct.pack(">HH", width, height)
@@ -305,6 +356,7 @@ def encode_mjpeg_mp4(
         + struct.pack(">I", 0) + struct.pack(">H", 1)  # reserved, frame cnt
         + b"\x00" * 32                                 # compressorname
         + struct.pack(">Hh", 24, -1)                   # depth, pre_defined
+        + cfg
     )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, len(frames), delta))

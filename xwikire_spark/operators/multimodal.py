@@ -7,11 +7,17 @@ decode/resize/re-encode are REAL (dependency-free codecs in
 PCM audio decode + feature extraction is REAL (``kernels/wavcodec.py``),
 FLAC decode is REAL (``kernels/flaccodec.py``, round 5), and
 MJPEG-in-MP4 video frame decode is REAL (``kernels/mp4codec.py``) — so
-``fake=False`` works end-to-end for those formats. Remaining codecs (WebP,
-compressed audio MP3/AAC, inter-frame video H.264/VP9) still raise
-NotImplementedError without PIL/libvips/ffmpeg; ``fake=True`` keeps the
-deterministic byte-stat path for them. The Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is identical across all paths.
+``fake=False`` works end-to-end for those formats. The remaining SAMPLE
+decoders (WebP pixels, MP3/AAC samples, inter-frame video H.264/VP9) are
+documented permanent skips (external-validity argument in each kernel's
+docstring) that raise NotImplementedError into the quarantine, where
+production swaps in PIL/libvips/ffmpeg; ``fake=True`` keeps the
+deterministic byte-stat path for them. Every skipped format still has a
+REAL, tested METADATA tier (round 6): ``media_metadata`` walks headers
+only — MP3/AAC frame layers (``mp3meta``/``aacmeta``), WebP containers
+(``webpmeta``), H.264 SPS (``h264meta``), plus WAV/FLAC/MP4/PNG/JPEG/
+GIF/PPM header reads. The Spark-side plumbing — schema, partitioning,
+UDF signature, batch shape — is identical across all paths.
 
 Error contract (F5 quarantine): a null, truncated, corrupt, or
 unsupported-format payload yields NULL features plus an ``err`` tag
@@ -61,9 +67,11 @@ def _decode_image_bytes(payload: bytes, fake: bool):
     # WebP/compressed-audio raise NotImplementedError (caught by caller).
     if not payload:
         return None
+    from xwikire_spark.kernels.aacmeta import decode_aac, sniff_aac
     from xwikire_spark.kernels.flaccodec import decode_flac, sniff_flac
     from xwikire_spark.kernels.imagecodec import channel_stats, decode_image
     from xwikire_spark.kernels.mp3meta import decode_mp3, sniff_mp3
+    from xwikire_spark.kernels.webpmeta import decode_webp, sniff_webp
     from xwikire_spark.kernels.wavcodec import (
         audio_stats,
         decode_wav,
@@ -80,6 +88,15 @@ def _decode_image_bytes(payload: bytes, fake: bool):
         # the same seam production swaps ffmpeg into. Frame-layer
         # metadata stays available via mp3meta.mp3_info.
         return decode_mp3(payload)
+    if sniff_aac(payload):
+        # same documented skip, kernels/aacmeta.py; aac_info serves the
+        # metadata tier.
+        return decode_aac(payload)
+    if sniff_webp(payload):
+        # same documented skip, kernels/webpmeta.py; webp_info serves the
+        # metadata tier (previously fell through to decode_image's
+        # NotImplementedError with a less specific tag).
+        return decode_webp(payload)
     return channel_stats(*decode_image(payload))
 
 
@@ -132,6 +149,201 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(gen, FEATURES_SCHEMA)
+
+
+METADATA_SCHEMA = (
+    "media_id string, kind string, format string, n_bytes int, "
+    "meta string, err string"
+)
+
+
+def _media_info_bytes(payload: bytes) -> tuple[str, dict]:
+    """(format, metadata) from HEADERS ONLY — no pixel/sample decode, so
+    the per-row cost is O(header bytes), not O(payload): the property
+    that makes corpus-wide media indexing at 100 TB a metadata-sized job
+    (audio frame walks touch 4-9 bytes per frame; images read one fixed
+    header). Raises ValueError on corrupt/unknown payloads (quarantined
+    by the caller)."""
+    import struct
+
+    from xwikire_spark.kernels.aacmeta import aac_info, sniff_aac
+    from xwikire_spark.kernels.flaccodec import _parse_streaminfo, sniff_flac
+    from xwikire_spark.kernels.imagecodec import sniff_format
+    from xwikire_spark.kernels.mp3meta import mp3_info, sniff_mp3
+    from xwikire_spark.kernels.mp4codec import sniff_mp4, video_samples
+    from xwikire_spark.kernels.webpmeta import sniff_webp, webp_info
+    from xwikire_spark.kernels.wavcodec import sniff_wav
+
+    if sniff_wav(payload):
+        # header-only RIFF walk: fmt for shape, data size for duration
+        meta: dict = {}
+        pos = 12
+        while pos + 8 <= len(payload):
+            fourcc = payload[pos:pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            if fourcc == b"fmt " and size >= 16:
+                fmt_tag, ch, rate, byterate, _ba, bits = struct.unpack(
+                    "<HHIIHH", payload[pos + 8:pos + 24]
+                )
+                meta.update(
+                    codec={1: "pcm", 2: "ms-adpcm", 6: "alaw", 7: "ulaw",
+                           17: "ima-adpcm"}.get(fmt_tag, f"tag{fmt_tag}"),
+                    channels=ch, sample_rate=rate, bits=bits,
+                    byterate=byterate,
+                )
+            elif fourcc == b"data":
+                meta["data_bytes"] = size
+            pos += 8 + size + (size & 1)
+        if "sample_rate" not in meta:
+            raise ValueError("WAV has no fmt chunk")
+        if meta.get("byterate") and "data_bytes" in meta:
+            meta["duration_sec"] = meta["data_bytes"] / meta["byterate"]
+        return "wav", meta
+    if sniff_flac(payload):
+        # STREAMINFO is mandatory-first: 4-byte magic + 4-byte block
+        # header + 34-byte body
+        info = _parse_streaminfo(payload[8:42])
+        return "flac", {
+            "sample_rate": info["rate"],
+            "channels": info["channels"],
+            "bits": info["bps"],
+            "duration_sec": info["total"] / info["rate"],
+            "md5": info["md5"].hex(),
+        }
+    if sniff_mp3(payload):
+        return "mp3", mp3_info(payload)
+    if sniff_aac(payload):
+        return "aac", aac_info(payload)
+    if sniff_webp(payload):
+        return "webp", webp_info(payload)
+    if sniff_mp4(payload):
+        from xwikire_spark.kernels.mp4codec import video_codec_config
+
+        t = video_samples(payload)
+        dur = (
+            (t.samples[-1][0] + 1) / t.timescale if t.samples else 0.0
+        )
+        meta = {
+            "codec": t.fourcc, "width": t.width, "height": t.height,
+            "timescale": t.timescale, "n_samples": len(t.samples),
+            "duration_sec_lower_bound": dur,
+        }
+        cfg = video_codec_config(payload)
+        if cfg is not None and cfg[1] == "avcC":
+            from xwikire_spark.kernels.h264meta import avc_info
+
+            meta["avc"] = avc_info(cfg[2])
+        return "mp4", meta
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        if len(payload) < 26 or payload[12:16] != b"IHDR":
+            raise ValueError("PNG too short for IHDR")
+        w, h = struct.unpack(">II", payload[16:24])
+        depth, color = payload[24], payload[25]
+        channels = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(color)
+        if channels is None:
+            raise ValueError(f"PNG bad color type {color}")
+        return "png", {"width": w, "height": h, "bit_depth": depth,
+                       "channels": channels, "palette": color == 3}
+    if fmt == "gif":
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", {"width": w, "height": h,
+                       "version": payload[3:6].decode("ascii", "replace")}
+    if fmt == "ppm":
+        fields: list[int] = []
+        pos = 2
+        while len(fields) < 3 and pos < min(len(payload), 256):
+            c = payload[pos:pos + 1]
+            if c == b"#":
+                while pos < len(payload) and payload[pos] not in b"\n":
+                    pos += 1
+            elif c.isdigit():
+                start = pos
+                while payload[pos:pos + 1].isdigit():
+                    pos += 1
+                fields.append(int(payload[start:pos]))
+            else:
+                pos += 1
+        if len(fields) < 3:
+            raise ValueError("PPM header truncated")
+        gray = payload[:2] == b"P5"
+        return ("pgm" if gray else "ppm"), {
+            "width": fields[0], "height": fields[1], "maxval": fields[2],
+            "channels": 1 if gray else 3,
+        }
+    if fmt == "jpeg":
+        # marker walk to the first SOF (C0-CF minus DHT/JPG/DAC)
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError(f"JPEG marker desync at byte {pos}")
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+                return "jpeg", {
+                    "width": w, "height": h,
+                    "channels": payload[pos + 9],
+                    "progressive": marker == 0xC2,
+                }
+            if marker == 0xD9:
+                break
+            pos += 2 + seglen
+        raise ValueError("JPEG has no SOF marker")
+    raise ValueError("unknown media container")
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """media (MEDIA_SCHEMA) -> per-item typed metadata via mapInPandas:
+    (format, meta-as-compact-JSON) per payload, with the same F5 per-row
+    quarantine contract as ``extract_media_features`` (corrupt payload →
+    NULL meta + err tag, never a job abort). Unlike the feature path this
+    NEVER decodes samples/pixels — it serves the corpus-indexing tier
+    (duration/bitrate/dimension histograms, format partitioning, storage
+    planning) where decoding would be a 100-1000x overspend."""
+
+    def gen(batches):
+        import json
+
+        import pandas as pd
+
+        for pdf in batches:
+            fmts, sizes, metas, errs = [], [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                sizes.append(len(b))
+                if not b:
+                    fmts.append(None)
+                    metas.append(None)
+                    errs.append("empty_payload")
+                    continue
+                try:
+                    fmt, meta = _media_info_bytes(b)
+                    fmts.append(fmt)
+                    metas.append(
+                        json.dumps(meta, sort_keys=True,
+                                   separators=(",", ":"))
+                    )
+                    errs.append(None)
+                except Exception as e:
+                    fmts.append(None)
+                    metas.append(None)
+                    errs.append(f"meta_error: {type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "format": pd.Series(fmts, dtype="object"),
+                    "n_bytes": sizes,
+                    "meta": pd.Series(metas, dtype="object"),
+                    "err": pd.Series(errs, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(gen, METADATA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

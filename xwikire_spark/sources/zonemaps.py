@@ -137,23 +137,28 @@ def refresh_zone_maps(
     }
 
 
-def plan_files(
-    spark: SparkSession, table_dir: str, ranges: dict[str, tuple]
-) -> tuple[list[str], dict]:
-    """Scan planning: the list of data files that might satisfy the
-    conjunction ``lo <= col <= hi for each ranges[col] = (lo, hi)``
-    (``None`` bound = unbounded on that side). Files without zone-map
-    rows are conservatively included. Returns (files, stats)."""
-    on_disk = _data_files(table_dir)
+def _file_uri(f: str) -> str:
+    """Normalize to the ``input_file_name()`` URI form the zone map is
+    keyed by (snapshot manifests carry plain root-relative paths)."""
+    return f if f.startswith("file:") else "file://" + os.path.abspath(f)
+
+
+def plan_file_subset(
+    spark: SparkSession,
+    table_dir: str,
+    candidates: list[str],
+    ranges: dict[str, tuple],
+) -> tuple[list[str], int, int]:
+    """Scan planning over an EXPLICIT candidate list (a directory
+    listing, or a snapshot manifest — ``sources.snapshots.pruned_read``):
+    keep the files that might satisfy the conjunction ``lo <= col <= hi
+    for each ranges[col] = (lo, hi)`` (``None`` bound = unbounded on that
+    side). Files without zone-map rows are conservatively kept. Returns
+    (planned, n_pruned, n_unmapped)."""
     try:
         zm = spark.read.parquet(_zm_path(table_dir))
     except Exception:
-        return on_disk, {
-            "files_total": len(on_disk),
-            "files_planned": len(on_disk),
-            "files_pruned": 0,
-            "unmapped": len(on_disk),
-        }
+        return list(candidates), 0, len(candidates)
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
         if f"{c}_min" not in zm.columns:
@@ -169,13 +174,25 @@ def plan_files(
     rows = zm.select("file", cond.alias("keep")).collect()
     mapped = {r["file"]: r["keep"] for r in rows}
     planned = [
-        f for f in on_disk if mapped.get(f, True)  # unmapped -> scan
+        f for f in candidates
+        if mapped.get(_file_uri(f), True)  # unmapped -> scan
     ]
-    unmapped = sum(1 for f in on_disk if f not in mapped)
+    unmapped = sum(1 for f in candidates if _file_uri(f) not in mapped)
+    return planned, len(candidates) - len(planned), unmapped
+
+
+def plan_files(
+    spark: SparkSession, table_dir: str, ranges: dict[str, tuple]
+) -> tuple[list[str], dict]:
+    """``plan_file_subset`` over the table's full directory listing."""
+    on_disk = _data_files(table_dir)
+    planned, n_pruned, unmapped = plan_file_subset(
+        spark, table_dir, on_disk, ranges
+    )
     return planned, {
         "files_total": len(on_disk),
         "files_planned": len(planned),
-        "files_pruned": len(on_disk) - len(planned),
+        "files_pruned": n_pruned,
         "unmapped": unmapped,
     }
 
