@@ -1686,6 +1686,132 @@ UNION ALL SELECT * FROM excise
 
 
 # ---------------------------------------------------------------------------
+# Round 6: as-of join / sequence packing / tf-idf (beyond-reference
+# training-pipeline operators; see operators/{asof,packing,ranking}.py)
+# ---------------------------------------------------------------------------
+
+
+def q_evt_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase event picks the
+    latest view event at-or-before it for the same user — the
+    point-in-time feature lookup. One shuffle on user_id (tagged union +
+    window), never a range join; DuckDB's native ASOF JOIN is the
+    oracle. The right side is deduplicated per (user_id, ts) so the
+    at-tie winner is well-defined on both engines."""
+    from xwikire_spark.operators.asof import asof_join
+
+    e = _load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("view_value"))
+    )
+    out = asof_join(purchases, views, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+        F.unix_micros(F.col("ts_right").cast("timestamp")).alias("view_us"),
+        F.col("view_value_right").alias("view_value"),
+    )
+
+
+def q_seq_packing(spark, sf_dir):
+    """GPT-style sequence packing (operators/packing.py): concatenate
+    documents in doc_id order, chunk into 2048-token context windows;
+    each doc gets the window holding its first token + its offset. The
+    Spark side computes the global prefix sum with the two-phase
+    distributed scan (range partitions + broadcast offsets — no
+    single-partition window); the oracle affords the naive cumulative
+    window at test scale."""
+    from xwikire_spark.operators.packing import (
+        pack_sequences,
+        token_count_expr,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=2048).select(
+        "doc_id", "n_tokens", "pack_id", "pack_offset"
+    )
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Domain-level tf-idf top terms (operators/ranking.py): which terms
+    characterize each source. Pure JVM tokenize-explode + two hash
+    aggregates + broadcast scalar + per-group top-k window."""
+    from xwikire_spark.operators.ranking import tfidf_top_terms
+
+    docs = _load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "source", "text", k=3)
+
+
+EVT_ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts, round(max(value), 6) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(v.ts) AS view_us,
+       v.view_value
+FROM purchases p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+SEQ_PACKING_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(before / 2048.0) AS BIGINT) AS pack_id,
+       CAST(before % 2048 AS BIGINT) AS pack_offset
+FROM c
+"""
+
+TFIDF_SQL = """
+WITH terms AS (
+  SELECT source AS grp,
+         unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+  FROM documents
+),
+tf AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS tf
+       FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT source) AS n_groups FROM documents),
+ranked AS (
+  SELECT grp, term, tf, df,
+         tf * ln(n_groups * 1.0 / df) AS score,
+         row_number() OVER (
+           PARTITION BY grp
+           ORDER BY tf * ln(n_groups * 1.0 / df) DESC, term ASC) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT grp AS source, term, tf, df,
+       round(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1752,6 +1878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_stats": q_txt_stats,
         "txt_langid": q_txt_langid,
         "txt_hygiene": q_txt_hygiene,
+        "evt_asof_join": q_evt_asof_join,
+        "seq_packing": q_seq_packing,
+        "tfidf_topterms": q_tfidf_topterms,
     }
 
 
@@ -2267,4 +2396,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _ann_ivf_oracle_sql(),
         "txt_langid": _langid_oracle_sql(),
         "txt_hygiene": _txt_hygiene_oracle_sql(),
+        "evt_asof_join": EVT_ASOF_SQL,
+        "seq_packing": SEQ_PACKING_SQL,
+        "tfidf_topterms": TFIDF_SQL,
     }

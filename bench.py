@@ -45,6 +45,11 @@ HEADLINE = [
     "txt_stats",
     "txt_hygiene",
     "kg_entity_salience",
+    # round 6: as-of join / sequence packing / tf-idf (beyond-reference
+    # training-pipeline ops, all driver-oracle-gated)
+    "evt_asof_join",
+    "seq_packing",
+    "tfidf_topterms",
 ]
 
 # Headline-only queries (not driver oracle rows): iterative fixpoints have

@@ -57,6 +57,16 @@ def main(argv: list[str]) -> int:
              " less Python CPU and ~1.5x throughput on the bench corpus",
     )
     p.add_argument(
+        "--table-format",
+        choices=["parquet", "snapshot"],
+        default="parquet",
+        help="'parquet' = partitioned dirs + dynamic overwrite;"
+             " 'snapshot' = snapshot-isolated table (sources/snapshots.py):"
+             " each resume batch is one atomic versioned commit with time"
+             " travel, readers plan from manifests (never directory"
+             " listings) — the Iceberg-table shape the north rule names",
+    )
+    p.add_argument(
         "--compact-target-bytes",
         type=int,
         default=None,
@@ -92,24 +102,36 @@ def main(argv: list[str]) -> int:
         return t
 
     out = run_with_manifests(
-        spark, transcripts, build, args.out, n_buckets=args.n_buckets
+        spark, transcripts, build, args.out, n_buckets=args.n_buckets,
+        table_format=args.table_format,
     )
     n = out.count()
     print(f"kg-pipeline: {n} triples materialized under {args.out}")
     if args.compact_target_bytes:
-        from xwikire_spark.sources.compaction import compact_partitions
+        if args.table_format == "snapshot":
+            from xwikire_spark.sources.snapshots import compact_snapshot
 
-        stats = compact_partitions(
-            spark,
-            os.path.join(args.out, "triples"),
-            target_bytes=args.compact_target_bytes,
-        )
-        rewritten = sum(s["files_before"] for s in stats)
-        kept = sum(s["files_after"] for s in stats)
-        print(
-            f"kg-pipeline: compacted {len(stats)} buckets "
-            f"({rewritten} -> {kept} files)"
-        )
+            info = compact_snapshot(
+                spark, os.path.join(args.out, "triples")
+            )
+            print(
+                f"kg-pipeline: compaction committed as snapshot "
+                f"v{info['version']} ({info['total_files']} files)"
+            )
+        else:
+            from xwikire_spark.sources.compaction import compact_partitions
+
+            stats = compact_partitions(
+                spark,
+                os.path.join(args.out, "triples"),
+                target_bytes=args.compact_target_bytes,
+            )
+            rewritten = sum(s["files_before"] for s in stats)
+            kept = sum(s["files_after"] for s in stats)
+            print(
+                f"kg-pipeline: compacted {len(stats)} buckets "
+                f"({rewritten} -> {kept} files)"
+            )
     spark.stop()
     return 0
 

@@ -398,8 +398,8 @@ class TestSnapshots:
         orig = sn._write_data
         fired = {}
 
-        def interlope(df, r):
-            out = orig(df, r)
+        def interlope(df, r, partition_col=None):
+            out = orig(df, r, partition_col)
             if "done" not in fired:  # the interloper wins the race once
                 fired["done"] = True
                 sn.commit_append(spark, root, self._df(spark, [77]))
@@ -466,3 +466,160 @@ class TestSnapshots:
         sn.commit_append(spark, root, self._df(spark, [1]))
         with _pytest.raises(ValueError):
             sn.read_table(spark, root, version=9)
+
+
+class TestSnapshotPartitioned:
+    """Partitioned snapshot tables: Hive-layout file groups whose
+    manifest rows carry per-file partition values (Iceberg's partition
+    tuple), commit_replace_partitions = dynamic partition overwrite as
+    ONE atomic versioned commit, metadata-level partition pruning, and
+    expire() that is per-FILE safe inside mixed-liveness groups."""
+
+    def _pdf(self, spark, pairs):
+        """(bucket, id) rows; partition col deliberately NOT last so the
+        read path must restore committed column order."""
+        return spark.createDataFrame(
+            [(b, i, f"doc{i}") for b, i in pairs],
+            "bucket bigint, id bigint, text string",
+        )
+
+    def _rows(self, df):
+        return sorted((r["bucket"], r["id"], r["text"]) for r in df.collect())
+
+    def test_replace_partitions_is_atomic_and_time_travels(
+        self, spark, tmp_path
+    ):
+        from xwikire_spark.sources import snapshots as sn
+
+        root = str(tmp_path / "t")
+        v1_rows = [(b, b * 10 + i) for b in (0, 1, 2) for i in range(3)]
+        sn.commit_replace_partitions(
+            spark, root, self._pdf(spark, v1_rows), "bucket"
+        )
+        # rewrite ONLY bucket 1
+        new1 = [(1, 99), (1, 98)]
+        st = sn.commit_replace_partitions(
+            spark, root, self._pdf(spark, new1), "bucket"
+        )
+        assert st["op"] == "replace" and st["version"] == 2
+        want = [p for p in v1_rows if p[0] != 1] + new1
+        assert self._rows(sn.read_table(spark, root)) == self._rows(
+            self._pdf(spark, want)
+        )
+        # time travel: v1 still serves the original bucket 1
+        assert self._rows(
+            sn.read_table(spark, root, version=1)
+        ) == self._rows(self._pdf(spark, v1_rows))
+        # untouched buckets were CARRIED FORWARD, not rewritten: their
+        # manifest paths are identical across versions
+        def paths(v, bucket):
+            return {
+                r["path"]
+                for r in sn._read_manifest(spark, root, v).collect()
+                if r["partition"] == f"bucket={bucket}"
+            }
+
+        for b in (0, 2):
+            assert paths(1, b) == paths(2, b)
+        assert paths(1, 1) and paths(1, 1) != paths(2, 1)
+
+    def test_partition_pruning_plans_fewer_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from xwikire_spark.sources import snapshots as sn
+
+        root = str(tmp_path / "t")
+        rows = [(b, b * 100 + i) for b in range(4) for i in range(5)]
+        sn.commit_replace_partitions(
+            spark, root, self._pdf(spark, rows), "bucket"
+        )
+        full = sn.read_table(spark, root)
+        # partitions= plans only the wanted buckets' files (manifest-level)
+        one = sn.read_table(spark, root, partitions=[2])
+        assert self._rows(one) == self._rows(
+            full.where(F.col("bucket") == 2)
+        )
+        got_files = {
+            f for (f,) in one.select(
+                F.input_file_name()
+            ).distinct().collect()
+        }
+        assert all("bucket=2" in f for f in got_files)
+        # pruned_read: a range on the partition col prunes at the manifest
+        # with zero zone maps present
+        df, st = sn.pruned_read(spark, root, {"bucket": (1, 2)})
+        assert st["partition_pruned"] > 0
+        assert self._rows(df) == self._rows(
+            full.where(F.col("bucket").between(1, 2))
+        )
+
+    def test_partition_spec_inherited_and_enforced(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from xwikire_spark.sources import snapshots as sn
+
+        root = str(tmp_path / "t")
+        sn.commit_replace_partitions(
+            spark, root, self._pdf(spark, [(0, 1), (1, 2)]), "bucket"
+        )
+        # append without a spec inherits the table's partitioning
+        sn.commit_append(spark, root, self._pdf(spark, [(0, 3)]))
+        m = sn._read_manifest(spark, root, 2)
+        assert m.where(F.col("partition").isNull()).count() == 0
+        assert self._rows(sn.read_table(spark, root)) == self._rows(
+            self._pdf(spark, [(0, 1), (1, 2), (0, 3)])
+        )
+        # a conflicting spec is rejected before any metadata lands
+        with _pytest.raises(ValueError):
+            sn.commit_append(
+                spark, root, self._pdf(spark, [(2, 4)]), partition_col="id"
+            )
+
+    def test_expire_is_file_safe_in_mixed_groups(self, spark, tmp_path):
+        """The first commit's group holds files for ALL buckets; after a
+        bucket-1 replace + expire(keep_last=1), ONLY the dead bucket-1
+        files may be deleted from that shared group — the live buckets'
+        files (and the table view) must survive."""
+        import os
+
+        from xwikire_spark.sources import snapshots as sn
+
+        root = str(tmp_path / "t")
+        v1_rows = [(b, b * 10 + i) for b in (0, 1, 2) for i in range(3)]
+        sn.commit_replace_partitions(
+            spark, root, self._pdf(spark, v1_rows), "bucket"
+        )
+        sn.commit_replace_partitions(
+            spark, root, self._pdf(spark, [(1, 99)]), "bucket"
+        )
+        before = self._rows(sn.read_table(spark, root))
+        st = sn.expire_snapshots(spark, root, keep_last=1)
+        assert st["dropped_files"] > 0
+        assert self._rows(sn.read_table(spark, root)) == before
+        # every file the retained manifest references still exists
+        for r in sn._read_manifest(spark, root, 2).collect():
+            assert os.path.exists(os.path.join(root, r["path"]))
+
+    def test_compact_partitioned_keeps_spec_and_view(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from xwikire_spark.sources import snapshots as sn
+
+        root = str(tmp_path / "t")
+        rows = [(b, b * 10 + i) for b in (0, 1) for i in range(4)]
+        df = self._pdf(spark, rows).repartition(4)
+        sn.commit_replace_partitions(spark, root, df, "bucket")
+        sn.commit_append(spark, root, self._pdf(spark, [(0, 77)]))
+        before = self._rows(sn.read_table(spark, root))
+        sn.compact_snapshot(spark, root)
+        meta = sn.snapshot_meta(root, sn.current_version(root))
+        assert meta["op"] == "compact"
+        assert meta["partition_col"] == "bucket"
+        after = sn.read_table(spark, root)
+        assert self._rows(after) == before
+        # still partition-prunable after compaction
+        one = sn.read_table(spark, root, partitions=[1])
+        assert self._rows(one) == self._rows(
+            after.where(F.col("bucket") == 1)
+        )

@@ -1471,3 +1471,197 @@ class TestMediaMetadata:
                 continue
             fmt, meta = _media_info_bytes(b)
             assert fmt is not None and meta
+
+
+class TestAsofJoin:
+    """operators/asof.py: backward-inclusive point-in-time join, checked
+    against a brute-force range-join + row_number pick (the semantics
+    DuckDB's native ASOF JOIN implements — also gated by the driver
+    oracle evt_asof_join)."""
+
+    def _frames(self, spark, seed=11):
+        rng = random.Random(seed)
+        left = [(i, rng.randrange(5), rng.randrange(1000))
+                for i in range(200)]
+        right = [(j, rng.randrange(5), rng.randrange(1000),
+                  round(rng.random(), 6)) for j in range(150)]
+        # dedup right per (key, t): asof tie-pick must be well-defined
+        seen, rdedup = set(), []
+        for j, k, t, v in right:
+            if (k, t) not in seen:
+                seen.add((k, t))
+                rdedup.append((j, k, t, v))
+        ldf = spark.createDataFrame(left, "lid bigint, k bigint, t bigint")
+        rdf = spark.createDataFrame(
+            rdedup, "rid bigint, k bigint, t bigint, v double"
+        ).drop("rid")
+        return ldf, rdf
+
+    def _brute(self, ldf, rdf):
+        from pyspark.sql import Window
+
+        j = ldf.join(
+            rdf.select(
+                F.col("k"), F.col("t").alias("rt"), F.col("v")
+            ),
+            "k", "left",
+        ).where(F.col("rt").isNull() | (F.col("rt") <= F.col("t")))
+        w = Window.partitionBy("lid").orderBy(F.desc_nulls_last("rt"))
+        best = (
+            j.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("lid", "rt", "v")
+        )
+        # left rows whose every right candidate was filtered out
+        return ldf.join(best, "lid", "left").select(
+            "lid", "k", "t", F.col("v").alias("v_right"),
+            F.col("rt").alias("t_right"),
+        )
+
+    def test_matches_brute_force(self, spark):
+        from xwikire_spark.operators.asof import asof_join
+
+        ldf, rdf = self._frames(spark)
+        got = {
+            (r["lid"], r["v_right"], r["t_right"])
+            for r in asof_join(ldf, rdf, on="t", by="k").collect()
+        }
+        want = {
+            (r["lid"], r["v_right"], r["t_right"])
+            for r in self._brute(ldf, rdf).collect()
+        }
+        assert got == want and len(got) == 200
+
+    def test_inclusive_at_equal_ts_and_no_match(self, spark):
+        from xwikire_spark.operators.asof import asof_join
+
+        ldf = spark.createDataFrame(
+            [(1, 0, 100), (2, 0, 50)], "lid bigint, k bigint, t bigint"
+        )
+        rdf = spark.createDataFrame(
+            [(0, 100, 7.0), (0, 99, 3.0)], "k bigint, t bigint, v double"
+        )
+        rows = {r["lid"]: r for r in
+                asof_join(ldf, rdf, on="t", by="k").collect()}
+        assert rows[1]["v_right"] == 7.0 and rows[1]["t_right"] == 100
+        assert rows[2]["v_right"] is None and rows[2]["t_right"] is None
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        from xwikire_spark.operators.asof import asof_join
+
+        ldf = spark.createDataFrame(
+            [(1, 0, 100), (2, 0, 500)], "lid bigint, k bigint, t bigint"
+        )
+        rdf = spark.createDataFrame(
+            [(0, 90, 1.0)], "k bigint, t bigint, v double"
+        )
+        rows = {r["lid"]: r for r in asof_join(
+            ldf, rdf, on="t", by="k", tolerance=F.lit(50)
+        ).collect()}
+        assert rows[1]["v_right"] == 1.0      # 10 <= 50
+        assert rows[2]["v_right"] is None     # 410 > 50
+
+    def test_single_shuffle_no_range_join(self, spark):
+        """The plan must be union+window — no BroadcastNestedLoopJoin /
+        CartesianProduct and no join at all except the final identity
+        projection; exactly the shuffles a groupBy(k) would cost."""
+        from xwikire_spark.operators.asof import asof_join
+
+        ldf, rdf = self._frames(spark)
+        plan = asof_join(
+            ldf, rdf, on="t", by="k"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "Window" in plan
+
+
+class TestSequencePacking:
+    """operators/packing.py: the distributed two-phase prefix sum must
+    equal the naive single-partition window for ANY partition count, and
+    the plan must range-partition instead of funneling the corpus
+    through one task."""
+
+    def _docs(self, spark, n=500, seed=5):
+        rng = random.Random(seed)
+        return spark.createDataFrame(
+            [(i, rng.randrange(1, 4000)) for i in range(n)],
+            "doc_id bigint, n_tokens bigint",
+        )
+
+    def test_equals_naive_window(self, spark):
+        from pyspark.sql import Window
+
+        from xwikire_spark.operators.packing import pack_sequences
+
+        df = self._docs(spark)
+        budget = 2048
+        w = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        naive = df.withColumn(
+            "before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).select(
+            "doc_id",
+            F.floor(F.col("before") / budget).alias("pack_id"),
+            (F.col("before") % budget).alias("pack_offset"),
+        )
+        want = {(r["doc_id"], r["pack_id"], r["pack_offset"])
+                for r in naive.collect()}
+        for parts in (1, 3, 8, 32):
+            got = {
+                (r["doc_id"], r["pack_id"], r["pack_offset"])
+                for r in pack_sequences(
+                    df, "doc_id", "n_tokens", budget,
+                    num_partitions=parts,
+                ).collect()
+            }
+            assert got == want, f"mismatch at num_partitions={parts}"
+
+    def test_plan_range_partitions_the_corpus(self, spark):
+        from xwikire_spark.operators.packing import pack_sequences
+
+        df = self._docs(spark)
+        plan = pack_sequences(
+            df, "doc_id", "n_tokens", 2048, num_partitions=8
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning(doc_id" in plan
+        # the only SinglePartition exchange feeds the per-partition totals
+        # (8 rows), never the corpus: it must sit under the broadcast side
+        assert plan.count("Exchange SinglePartition") <= 1
+
+    def test_offsets_are_within_budget_and_contiguous(self, spark):
+        from xwikire_spark.operators.packing import pack_sequences
+
+        df = self._docs(spark, n=100)
+        out = pack_sequences(df, "doc_id", "n_tokens", 1000).collect()
+        rows = sorted(out, key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // 1000
+            assert r["pack_offset"] == cum % 1000
+            assert 0 <= r["pack_offset"] < 1000
+            cum += r["n_tokens"]
+
+
+class TestTfidfTopTerms:
+    def test_hand_computed_corpus(self, spark):
+        import math
+
+        from xwikire_spark.operators.ranking import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [("g1", "apple apple banana"), ("g2", "banana cherry")],
+            "src string, text string",
+        )
+        got = {
+            (r["src"], r["term"]): (r["tf"], r["df"], r["score"], r["rank"])
+            for r in tfidf_top_terms(docs, "src", "text", k=2).collect()
+        }
+        ln2 = round(math.log(2.0), 6)
+        assert got[("g1", "apple")] == (2, 1, round(2 * math.log(2.0), 6), 1)
+        assert got[("g1", "banana")] == (1, 2, 0.0, 2)
+        assert got[("g2", "cherry")] == (1, 1, ln2, 1)
+        assert got[("g2", "banana")] == (1, 2, 0.0, 2)
+        assert len(got) == 4

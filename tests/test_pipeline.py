@@ -345,6 +345,67 @@ class TestManifests:
                 fresh.select("conv_id", "subj", "pred", "obj").collect()}
         assert got == want
 
+    def test_snapshot_mode_matches_parquet_and_time_travels(
+        self, spark, corpus, tmp_path
+    ):
+        """table_format="snapshot": same triples as parquet mode, each
+        resume batch = one atomic versioned commit (op=replace), a
+        drifted bucket's reprocess is invisible to readers pinned to the
+        pre-drift snapshot, and resume stays a no-op when nothing is
+        pending (no empty commits)."""
+        import os
+
+        from xwikire_spark.sources import snapshots as sn
+
+        _, _, transcripts, alias_df, pred_df = corpus
+        out_p = str(tmp_path / "kg_parquet")
+        out_s = str(tmp_path / "kg_snap")
+        n_buckets = 4
+
+        def build(df):
+            return extract_triples(df, alias_df, pred_df)
+
+        def key_set(df):
+            return {tuple(r) for r in
+                    df.select("conv_id", "subj", "pred", "obj").collect()}
+
+        plain = run_with_manifests(
+            spark, transcripts, build, out_p, n_buckets
+        )
+        snap = run_with_manifests(
+            spark, transcripts, build, out_s, n_buckets,
+            table_format="snapshot",
+        )
+        assert key_set(snap) == key_set(plain) and snap.count() > 0
+        root = os.path.join(out_s, "triples")
+        assert sn.current_version(root) == 1
+        # no-op resume commits nothing
+        run_with_manifests(
+            spark, transcripts, build, out_s, n_buckets,
+            table_format="snapshot",
+        )
+        assert sn.current_version(root) == 1
+        # drift one conversation -> exactly one more commit; the pinned
+        # v1 reader still sees the pre-drift triples
+        v1_keys = key_set(sn.read_table(spark, root, version=1))
+        drifted = transcripts.withColumn(
+            "text",
+            F.when(
+                F.col("conv_id") == "conv-00000",
+                F.concat(F.col("text"), F.lit(" Einstein married Curie.")),
+            ).otherwise(F.col("text")),
+        )
+        merged = run_with_manifests(
+            spark, drifted, build, out_s, n_buckets,
+            table_format="snapshot",
+        )
+        assert sn.current_version(root) == 2
+        assert sn.snapshot_meta(root, 2)["op"] == "replace"
+        assert key_set(merged) == key_set(
+            extract_triples(drifted, alias_df, pred_df)
+        )
+        assert key_set(sn.read_table(spark, root, version=1)) == v1_keys
+
 
 class TestGraphMaterialization:
     def test_edges_vertices_and_metrics(self, spark, corpus, tmp_path):
@@ -373,6 +434,38 @@ class TestGraphMaterialization:
         assert m[0].triples_out == n_edges
         assert m[0].empty_evidence == 0
         assert m[0].approx_convs > 0
+
+    def test_snapshot_format_edges_and_vertices(
+        self, spark, corpus, tmp_path
+    ):
+        """table_format="snapshot": both graph tables are snapshot
+        tables (edge = replace-partitions lineage commits, vertex =
+        overwrite per refresh) and reconcile exactly."""
+        import os
+
+        from xwikire_spark.pipeline.graph import materialize_graph
+        from xwikire_spark.sources import snapshots as sn
+
+        _, _, transcripts, alias_df, pred_df = corpus
+        out = str(tmp_path / "graph_snap")
+
+        def build(df):
+            return extract_triples(df, alias_df, pred_df)
+
+        edges, vertices = materialize_graph(
+            spark, transcripts, build, out, n_buckets=4,
+            table_format="snapshot",
+        )
+        assert edges.count() > 0
+        v = {r.entity_id: r for r in vertices.collect()}
+        for r in edges.groupBy("subj").count().collect():
+            assert v[r.subj].out_degree == r["count"]
+        assert sn.snapshot_meta(
+            os.path.join(out, "vertices"), 1
+        )["op"] == "overwrite"
+        assert sn.snapshot_meta(
+            os.path.join(out, "triples"), 1
+        )["partition_col"] == "part_bucket"
 
 
 class TestMentionPathEquivalence:

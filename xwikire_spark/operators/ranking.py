@@ -1,0 +1,82 @@
+"""Corpus-level term weighting: TF-IDF top terms per document group.
+The text-analysis operator a training-data pipeline runs to label what a
+source/domain is "about" (domain mixing weights, topic filtering,
+quality-cluster naming).
+
+Spark-first: one tokenize-explode pass, two hash aggregates, a broadcast
+1-row corpus-size scalar, and a per-group top-k window — every stage is
+whole-stage-codegen JVM expressions (the tokenizer is a single
+``regexp_extract_all``), no Python anywhere.
+
+Scale shape at 100 TB: the explode's output is bounded by total token
+count (linear scan); tf is a map-side-combinable count on
+(group, term); df aggregates the DISTINCT (group, term) pairs that tf
+already materialized — reusing tf's output instead of re-scanning the
+corpus; the final top-k windows over per-group term lists, which is the
+vocabulary size per group, not the corpus. The only global value is the
+group count — one row, broadcast.
+
+Beyond-reference operator (the reference has no corpus statistics);
+oracle = identical SQL in DuckDB (same tokenizer regex, same ln()).
+Scores are rounded to 6 decimals for the value-hash gate; ranking
+happens BEFORE rounding with a deterministic (score desc, term asc)
+tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z]{3,}"
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` terms per ``group_col`` value by tf-idf, where a "doc"
+    for idf purposes is the whole group (domain-level weighting):
+    idf = ln(n_groups / n_groups_containing_term); score = tf * idf.
+    Output: (group, term, tf, df, score, rank)."""
+    terms = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = terms.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_groups = df.select(group_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_groups))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_groups") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            "tf",
+            "df",
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )

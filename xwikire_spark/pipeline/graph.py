@@ -56,24 +56,40 @@ def materialize_graph(
     build_fn,
     out_dir: str,
     n_buckets: int = 16,
+    table_format: str = "parquet",
 ) -> tuple[DataFrame, DataFrame]:
     """Full graph materialization with lineage: edges through
     run_with_manifests (bucketed, resumable, drift-detected), vertices
     derived FROM THE WRITTEN EDGES (no recompute of the extraction) and
-    bucketed by entity hash. Returns (edges, vertices) read back."""
+    bucketed by entity hash. Returns (edges, vertices) read back.
+
+    ``table_format="snapshot"``: both tables are ``sources.snapshots``
+    tables — edges get per-batch atomic replace-partitions commits (see
+    run_with_manifests), vertices a whole-table overwrite commit per
+    refresh (the derived table is rebuilt from the written edges, so
+    overwrite IS its natural increment); both keep time travel."""
     from xwikire_spark.pipeline.manifests import run_with_manifests
 
     edges = run_with_manifests(
-        spark, transcripts, build_fn, out_dir, n_buckets
+        spark, transcripts, build_fn, out_dir, n_buckets,
+        table_format=table_format,
     )
     vertices = vertex_table(edges).withColumn(
         "part_bucket", F.pmod(F.xxhash64("entity_id"), F.lit(n_buckets))
     )
+    v_root = os.path.join(out_dir, "vertices")
+    if table_format == "snapshot":
+        from xwikire_spark.sources import snapshots as snapmod
+
+        snapmod.commit_overwrite(
+            spark, v_root, vertices, partition_col="part_bucket"
+        )
+        return edges, snapmod.read_table(spark, v_root)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     vertices.write.mode("overwrite").partitionBy("part_bucket").parquet(
-        os.path.join(out_dir, "vertices")
+        v_root
     )
-    return edges, spark.read.parquet(os.path.join(out_dir, "vertices"))
+    return edges, spark.read.parquet(v_root)
 
 
 def entity_salience(

@@ -92,6 +92,7 @@ def run_with_manifests(
     out_dir: str,
     n_buckets: int = 16,
     zone_map_cols: list[str] | None = None,
+    table_format: str = "parquet",
 ) -> DataFrame:
     """Run ``build_fn(transcripts_subset) -> triples`` bucket-group-wise with
     resume. Returns the full output (all buckets) read back from disk.
@@ -104,7 +105,22 @@ def run_with_manifests(
     runs after the bucket write, statting ONLY the files this run added
     (incremental) — so downstream range queries on those columns (e.g.
     conv_id) can plan pruned file lists instead of full table scans.
+
+    ``table_format``: ``"parquet"`` = partitioned directory + dynamic
+    partition overwrite (reprocessing a bucket swaps its directory);
+    ``"snapshot"`` = ``sources.snapshots`` table — each resume batch is
+    ONE atomic versioned commit (``commit_replace_partitions`` on
+    part_bucket), readers plan from manifests instead of directory
+    listings, get snapshot isolation against in-flight batches, and can
+    time-travel to any prior batch's view. Resume semantics (lineage
+    manifest, drift detection, idempotent reprocess) are identical.
     """
+    if table_format not in ("parquet", "snapshot"):
+        raise ValueError(f"unknown table_format {table_format!r}")
+    snap = table_format == "snapshot"
+    if snap:
+        from xwikire_spark.sources import snapshots as snapmod
+    triples_root = os.path.join(out_dir, "triples")
     todo = pending_buckets(spark, transcripts, out_dir, n_buckets)
     bucketed = with_bucket(transcripts, n_buckets)
     fp = bucket_fingerprints(transcripts, n_buckets)
@@ -135,12 +151,23 @@ def run_with_manifests(
                 ).alias("empty_evidence")
             )
         out = out.observe(obs, *metric_exprs)
-        # dynamic partition overwrite: reprocessing a drifted bucket replaces
-        # its files instead of appending duplicates — resume is idempotent.
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        out.write.mode("overwrite").partitionBy("part_bucket").parquet(
-            os.path.join(out_dir, "triples")
-        )
+        if snap:
+            # one atomic versioned commit per resume batch; a drifted
+            # bucket's files fall out of the new manifest (old versions
+            # keep them — time travel), so reprocess is idempotent
+            snapmod.commit_replace_partitions(
+                spark, triples_root, out, "part_bucket"
+            )
+        else:
+            # dynamic partition overwrite: reprocessing a drifted bucket
+            # replaces its files instead of appending duplicates — resume
+            # is idempotent.
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            out.write.mode("overwrite").partitionBy("part_bucket").parquet(
+                triples_root
+            )
         wall_ms = int((time.time() - t0) * 1000)
         # aggregates over a zero-row write observe NULL (e.g. the sum) —
         # coalesce to 0 and pin the schema or createDataFrame fails type
@@ -154,10 +181,17 @@ def run_with_manifests(
 
         # count from the just-written files, NOT the build DataFrame —
         # re-aggregating `out` would recompute the whole extraction
-        # (including the Python kernel) a second time.
+        # (including the Python kernel) a second time. Snapshot mode plans
+        # ONLY the todo buckets' files (manifest partition pruning).
+        written = (
+            snapmod.read_table(spark, triples_root, partitions=todo)
+            if snap
+            else spark.read.parquet(triples_root).where(
+                F.col("part_bucket").isin(todo)
+            )
+        )
         counts = (
-            spark.read.parquet(os.path.join(out_dir, "triples"))
-            .where(F.col("part_bucket").isin(todo))
+            written
             .groupBy(F.col("part_bucket").cast("bigint").alias("part_bucket"))
             .agg(F.count(F.lit(1)).alias("triples_out"))
         )
@@ -178,8 +212,8 @@ def run_with_manifests(
         if zone_map_cols:
             from xwikire_spark.sources.zonemaps import refresh_zone_maps
 
-            refresh_zone_maps(
-                spark, os.path.join(out_dir, "triples"), zone_map_cols
-            )
+            refresh_zone_maps(spark, triples_root, zone_map_cols)
 
-    return spark.read.parquet(os.path.join(out_dir, "triples"))
+    if snap:
+        return snapmod.read_table(spark, triples_root)
+    return spark.read.parquet(triples_root)

@@ -32,6 +32,17 @@ swap-root-pointer model):
    loser's data files are orphans, GC'd later) — else ``os.replace`` a
    tmp pointer over ``current`` (atomic on POSIX).
 
+Partitioned tables (``partition_col=``): data files land in Hive-style
+``<col>=<val>/`` dirs inside their group, the manifest records each
+file's partition value (Iceberg's per-file partition tuple), and
+``commit_replace_partitions`` gives dynamic-partition-overwrite AS one
+atomic versioned commit — the KG pipeline's idempotent bucket-reprocess
+path. Readers re-derive the partition column from the file path
+(``input_file_name`` regexp — one relation, no directory inference) and
+``read_table(partitions=[...])`` / ``pruned_read`` prune at the
+manifest. Partition values must be path-safe scalars (bucket ints here;
+escaped strings are a documented non-goal of the local stand-in).
+
 ``compact_snapshot`` rewrites the CURRENT view into fewer files and
 commits it as op="compact": a logical no-op — readers pinned to older
 snapshots still see the old files, which is why compaction must never
@@ -67,7 +78,7 @@ from pyspark.sql.types import StructType
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "snapdata"
 
-MANIFEST_SCHEMA = "path string, rows bigint, bytes bigint"
+MANIFEST_SCHEMA = "path string, rows bigint, bytes bigint, partition string"
 
 
 class SnapshotConflict(RuntimeError):
@@ -140,49 +151,100 @@ def _resolve(root: str, version: int | None) -> int:
     return v
 
 
+def _plan_df(
+    spark: SparkSession, root: str, meta: dict, files: list[str]
+) -> DataFrame:
+    """Plan a DataFrame over an explicit snapshot file list. For a
+    partitioned snapshot the partition column is not stored in the data
+    files (Hive-style ``col=value`` directories, as ``write.partitionBy``
+    lays them out); it is re-derived from each row's file path via
+    ``input_file_name()`` — one relation over all files, no per-partition
+    union fan-out, no directory inference. Partition values must be
+    path-safe literals (ints here); escaped values are a documented
+    non-goal of this local stand-in."""
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    pcol = meta.get("partition_col")
+    if not files:
+        return spark.createDataFrame([], schema)
+    if not pcol:
+        return spark.read.schema(schema).parquet(*files)
+    data_schema = StructType([f for f in schema.fields if f.name != pcol])
+    ptype = schema[pcol].dataType
+    df = spark.read.schema(data_schema).parquet(*files)
+    derived = F.regexp_extract(
+        F.input_file_name(), f"/{pcol}=([^/]+)/", 1
+    ).cast(ptype)
+    # restore the committed column order
+    return df.withColumn(pcol, derived).select(*[f.name for f in schema])
+
+
 def read_table(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    partitions: list | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: current). Plans from the
     snapshot manifest — on-disk files no snapshot references are
     invisible, and an old version keeps reading its exact file set even
-    after later appends/compactions (until expired)."""
+    after later appends/compactions (until expired).
+
+    ``partitions``: for a partitioned snapshot, plan ONLY the files whose
+    manifest partition value is in the list — metadata-level partition
+    pruning (the Iceberg partition-summary prune); a residual filter
+    keeps semantics exact either way."""
     v = _resolve(root, version)
     if v == 0:
         raise ValueError(f"{root} has no committed snapshot")
     meta = snapshot_meta(root, v)
-    files = [
-        os.path.join(root, r["path"])
-        for r in _read_manifest(spark, root, v).collect()
-    ]
-    schema = StructType.fromJson(json.loads(meta["schema"]))
-    if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    rows = _read_manifest(spark, root, v).collect()
+    pcol = meta.get("partition_col")
+    if partitions is not None:
+        if not pcol:
+            raise ValueError(f"snapshot v{v} of {root} is not partitioned")
+        wanted = {f"{pcol}={val}" for val in partitions}
+        rows = [r for r in rows if r["partition"] in wanted]
+    files = [os.path.join(root, r["path"]) for r in rows]
+    df = _plan_df(spark, root, meta, files)
+    if partitions is not None:
+        df = df.where(F.col(pcol).isin(list(partitions)))
+    return df
 
 
-def _write_data(df: DataFrame, root: str) -> tuple[str, list[dict]]:
+def _write_data(
+    df: DataFrame, root: str, partition_col: str | None = None
+) -> tuple[str, list[dict]]:
     """One immutable file group under snapdata/<token>/; returns the
-    manifest rows (root-relative paths)."""
+    manifest rows (root-relative paths). With ``partition_col`` the group
+    is Hive-layout (``snapdata/<token>/<col>=<val>/part-*.parquet``) and
+    each manifest row records its partition — the per-file partition
+    tuple Iceberg manifests carry."""
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, token)
     out_dir = os.path.join(root, rel_dir)
-    df.write.parquet(out_dir)
+    w = df.write
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(out_dir)
     rows = []
-    for name in sorted(os.listdir(out_dir)):
-        if name.endswith(".parquet"):
-            p = os.path.join(out_dir, name)
-            rows.append(
-                {
-                    "path": os.path.join(rel_dir, name),
-                    # per-file row counts would come from parquet footers
-                    # at 100 TB (Iceberg gets them from the writer); -1
-                    # keeps the local stand-in honest instead of paying a
-                    # count() per commit
-                    "rows": -1,
-                    "bytes": os.path.getsize(p),
-                }
-            )
+    for dirpath, _dirs, names in sorted(os.walk(out_dir)):
+        rel_sub = os.path.relpath(dirpath, out_dir)
+        part = rel_sub if rel_sub != "." and "=" in rel_sub else None
+        for name in sorted(names):
+            if name.endswith(".parquet"):
+                p = os.path.join(dirpath, name)
+                rows.append(
+                    {
+                        "path": os.path.relpath(p, root),
+                        # per-file row counts would come from parquet
+                        # footers at 100 TB (Iceberg gets them from the
+                        # writer); -1 keeps the local stand-in honest
+                        # instead of paying a count() per commit
+                        "rows": -1,
+                        "bytes": os.path.getsize(p),
+                        "partition": part,
+                    }
+                )
     return rel_dir, rows
 
 
@@ -192,17 +254,47 @@ def _commit(
     df: DataFrame,
     op: str,
     keep_parent_files: bool,
+    partition_col: str | None = None,
+    replace_partitions: bool = False,
 ) -> dict:
     os.makedirs(_snap_dir(root), exist_ok=True)
     parent = current_version(root)
     version = parent + 1
-    rel_dir, new_rows = _write_data(df, root)
+    if parent and keep_parent_files:
+        # a snapshot's file set must be readable as ONE relation, so the
+        # partition spec is fixed while parent files are carried forward;
+        # switching specs requires an overwrite (old versions keep their
+        # own spec via their own meta)
+        parent_pcol = snapshot_meta(root, parent).get("partition_col")
+        if partition_col is None:
+            partition_col = parent_pcol
+        elif parent_pcol != partition_col:
+            raise ValueError(
+                f"{root} is partitioned by {parent_pcol!r}; cannot "
+                f"{op} with partition_col={partition_col!r}"
+            )
+    rel_dir, new_rows = _write_data(df, root, partition_col)
     manifest = spark.createDataFrame(
-        [(r["path"], r["rows"], r["bytes"]) for r in new_rows],
+        [(r["path"], r["rows"], r["bytes"], r["partition"])
+         for r in new_rows],
         MANIFEST_SCHEMA,
     )
     if keep_parent_files and parent:
-        manifest = _read_manifest(spark, root, parent).unionByName(manifest)
+        parent_manifest = _read_manifest(spark, root, parent)
+        if replace_partitions:
+            # dynamic-overwrite semantics at the METADATA layer: parent
+            # files in partitions this commit rewrote fall out of the new
+            # manifest (their bytes stay on disk for time travel, expired
+            # later) — the set of touched partitions comes from the files
+            # just written, zero extra jobs
+            touched = sorted(
+                {r["partition"] for r in new_rows if r["partition"]}
+            )
+            parent_manifest = parent_manifest.where(
+                F.col("partition").isNull()
+                | ~F.col("partition").isin(touched)
+            )
+        manifest = parent_manifest.unionByName(manifest)
     # manifest + meta land in a UNIQUELY-NAMED staging location BEFORE
     # the pointer swing — a crash or a lost commit race leaves staging
     # orphans (GC'd by expire_snapshots), never a clobbered winner at
@@ -218,6 +310,7 @@ def _commit(
             "parent": parent,
             "op": op,
             "schema": df.schema.json(),
+            "partition_col": partition_col,
             "added_files": len(new_rows),
             "total_files": n_files,
         }
@@ -246,12 +339,47 @@ def _commit(
             "added_files": len(new_rows), "total_files": n_files}
 
 
-def commit_append(spark: SparkSession, root: str, df: DataFrame) -> dict:
-    return _commit(spark, root, df, "append", keep_parent_files=True)
+def commit_append(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_col: str | None = None,
+) -> dict:
+    """Append ``df`` as a new snapshot. On an already-partitioned table
+    the spec is inherited (new files land in their Hive partition dirs);
+    passing a conflicting ``partition_col`` raises."""
+    return _commit(
+        spark, root, df, "append", keep_parent_files=True,
+        partition_col=partition_col,
+    )
 
 
-def commit_overwrite(spark: SparkSession, root: str, df: DataFrame) -> dict:
-    return _commit(spark, root, df, "overwrite", keep_parent_files=False)
+def commit_overwrite(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_col: str | None = None,
+) -> dict:
+    return _commit(
+        spark, root, df, "overwrite", keep_parent_files=False,
+        partition_col=partition_col,
+    )
+
+
+def commit_replace_partitions(
+    spark: SparkSession, root: str, df: DataFrame, partition_col: str
+) -> dict:
+    """Dynamic partition overwrite as ONE atomic snapshot commit (the
+    Iceberg ``REPLACE PARTITIONS`` / Spark dynamic-overwrite analog, but
+    with time travel): partitions present in ``df`` are rewritten,
+    everything else is carried forward from the parent manifest
+    untouched. The resume path's idempotent bucket reprocess rides on
+    this — a drifted bucket replaces its files in the NEW snapshot while
+    readers pinned to the old version still see the old bucket."""
+    return _commit(
+        spark, root, df, "replace", keep_parent_files=True,
+        partition_col=partition_col, replace_partitions=True,
+    )
 
 
 def compact_snapshot(
@@ -259,11 +387,20 @@ def compact_snapshot(
 ) -> dict:
     """Rewrite the current view into ``target_files`` files and commit as
     op="compact" — logically a no-op (old snapshots keep their old
-    files; nothing is deleted here, that is expire_snapshots' job)."""
+    files; nothing is deleted here, that is expire_snapshots' job). On a
+    partitioned table the rewrite hashes rows to their partition value so
+    each partition lands in one task -> one file per partition
+    (``target_files`` applies to the unpartitioned case)."""
+    v = _resolve(root, None)
+    pcol = snapshot_meta(root, v).get("partition_col") if v else None
     cur = read_table(spark, root)
+    if pcol:
+        cur = cur.repartition(pcol)
+    else:
+        cur = cur.coalesce(target_files)
     return _commit(
-        spark, root, cur.coalesce(target_files), "compact",
-        keep_parent_files=False,
+        spark, root, cur, "compact",
+        keep_parent_files=False, partition_col=pcol,
     )
 
 
@@ -316,9 +453,10 @@ def expire_snapshots(
         data_root
     ) else []:
         gdir = os.path.join(data_root, token)
-        rel = os.path.join(_DATA_DIR, token)
         group = [
-            os.path.join(rel, n) for n in os.listdir(gdir)
+            os.path.relpath(os.path.join(dp, n), root)
+            for dp, _dirs, names in os.walk(gdir)
+            for n in names
             if n.endswith(".parquet")
         ]
         dead = [p for p in group if p not in referenced]
@@ -351,24 +489,41 @@ def pruned_read(
     if v == 0:
         raise ValueError(f"{root} has no committed snapshot")
     meta = snapshot_meta(root, v)
-    schema = StructType.fromJson(json.loads(meta["schema"]))
-    files = [
-        os.path.join(root, r["path"])
-        for r in _read_manifest(spark, root, v).collect()
-    ]
+    rows = _read_manifest(spark, root, v).collect()
+    pcol = meta.get("partition_col")
+    n_total = len(rows)
+    if pcol and pcol in ranges:
+        # manifest-level partition pruning: the partition value is the
+        # file's exact bound for that column (rows whose value fails to
+        # parse are conservatively kept)
+        lo, hi = ranges[pcol]
+
+        def _keep(r):
+            if not r["partition"]:
+                return True
+            try:
+                val = float(r["partition"].split("=", 1)[1])
+            except ValueError:
+                return True
+            return (lo is None or val >= lo) and (hi is None or val <= hi)
+
+        rows = [r for r in rows if _keep(r)]
+    n_part_pruned = n_total - len(rows)
+    files = [os.path.join(root, r["path"]) for r in rows]
+    # zone maps stat only columns present in the data files; the
+    # partition column (absent there) falls through conservatively
     keep, n_pruned, n_unmapped = zm.plan_file_subset(
         spark, root, files, ranges
     )
     stats = {
         "version": v,
-        "files_total": len(files),
+        "files_total": n_total,
         "files_planned": len(keep),
-        "files_pruned": n_pruned,
+        "files_pruned": n_pruned + n_part_pruned,
+        "partition_pruned": n_part_pruned,
         "unmapped": n_unmapped,
     }
-    if not keep:
-        return spark.createDataFrame([], schema), stats
-    df = spark.read.schema(schema).parquet(*keep)
+    df = _plan_df(spark, root, meta, keep)
     for col, (lo, hi) in ranges.items():
         if lo is not None:
             df = df.where(F.col(col) >= F.lit(lo))
