@@ -1750,6 +1750,42 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(docs, "source", "text", k=3)
 
 
+def q_tbl_profile(spark, sf_dir):
+    """Single-pass data-quality profile (operators/profile.py): per
+    column — rows, nulls, exact distincts, min/max — ONE aggregate over
+    ONE scan regardless of column count (struct-array unpivot, not a
+    union of per-column scans). Restricted here to bigint/varchar
+    columns so the min/max string rendering is engine-portable."""
+    from xwikire_spark.operators.profile import profile_table
+
+    e = _load(spark, sf_dir, "events")
+    return profile_table(e, ["event_id", "user_id", "event_type"])
+
+
+TBL_PROFILE_SQL = """
+SELECT 'event_id' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_value,
+       CAST(max(event_id) AS VARCHAR) AS max_value
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+FROM events
+"""
+
+
 EVT_ASOF_SQL = """
 WITH purchases AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
@@ -1881,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_asof_join": q_evt_asof_join,
         "seq_packing": q_seq_packing,
         "tfidf_topterms": q_tfidf_topterms,
+        "tbl_profile": q_tbl_profile,
     }
 
 
@@ -2399,4 +2436,5 @@ def oracle_sql() -> dict[str, str]:
         "evt_asof_join": EVT_ASOF_SQL,
         "seq_packing": SEQ_PACKING_SQL,
         "tfidf_topterms": TFIDF_SQL,
+        "tbl_profile": TBL_PROFILE_SQL,
     }

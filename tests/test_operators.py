@@ -1665,3 +1665,47 @@ class TestTfidfTopTerms:
         assert got[("g2", "cherry")] == (1, 1, ln2, 1)
         assert got[("g2", "banana")] == (1, 2, 0.0, 2)
         assert len(got) == 4
+
+
+class TestProfileTable:
+    """operators/profile.py: one-scan data-quality profile."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 1.5), (2, None, 2.5), (3, "a", None), (4, "b", 4.0)],
+            "id bigint, tag string, v double",
+        )
+
+    def test_stats_incl_nulls(self, spark):
+        from xwikire_spark.operators.profile import profile_table
+
+        got = {r["column"]: r for r in profile_table(self._df(spark)).collect()}
+        assert got["id"]["n_rows"] == 4 and got["id"]["n_null"] == 0
+        assert got["id"]["n_distinct"] == 4
+        assert got["id"]["min_value"] == "1" and got["id"]["max_value"] == "4"
+        assert got["tag"]["n_null"] == 1 and got["tag"]["n_distinct"] == 2
+        assert got["tag"]["min_value"] == "a" and got["tag"]["max_value"] == "b"
+        assert got["v"]["n_null"] == 1 and got["v"]["n_distinct"] == 3
+
+    def test_single_scan_plan(self, spark, tmp_path):
+        """However many columns are profiled, the parquet source appears
+        in the executed plan exactly once."""
+        from xwikire_spark.operators.profile import profile_table
+
+        p = str(tmp_path / "t")
+        self._df(spark).write.parquet(p)
+        df = spark.read.parquet(p)
+        plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") == 1
+
+    def test_approx_mode_bounded_error(self, spark):
+        from xwikire_spark.operators.profile import profile_table
+
+        df = spark.range(10_000).select(
+            F.col("id"), (F.col("id") % 100).alias("c")
+        )
+        got = {r["column"]: r for r in
+               profile_table(df, approx=True).collect()}
+        # HLL++ default rsd 5%
+        assert abs(got["id"]["n_distinct"] - 10_000) <= 10_000 * 0.15
+        assert abs(got["c"]["n_distinct"] - 100) <= 100 * 0.15
