@@ -1750,6 +1750,63 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(docs, "source", "text", k=3)
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Per-node triangle counts (operators/graph_metrics.py) over the
+    strong co-purchase graph: parts sharing >= 2 distinct orders. The
+    Spark side runs the degree-oriented (Schank-Wagner) enumeration —
+    hub out-degree bounded O(sqrt(m)) so no wedge blow-up; the oracle is
+    the plain a<b<c 3-way self-join, affordable at test scale and
+    provably the same triangle set."""
+    from xwikire_spark.operators.graph_metrics import triangle_counts
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            "l_orderkey",
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+    )
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count_distinct("l_orderkey").alias("w"))
+        .where(F.col("w") >= 2)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return triangle_counts(edges)
+
+
+KG_TRIANGLES_SQL = """
+WITH pairs AS (
+  SELECT a.l_orderkey,
+         a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (
+  SELECT u, v FROM pairs
+  GROUP BY u, v HAVING count(DISTINCT l_orderkey) >= 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+m AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM m GROUP BY node
+"""
+
+
 def q_tbl_profile(spark, sf_dir):
     """Single-pass data-quality profile (operators/profile.py): per
     column — rows, nulls, exact distincts, min/max — ONE aggregate over
@@ -1918,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing": q_seq_packing,
         "tfidf_topterms": q_tfidf_topterms,
         "tbl_profile": q_tbl_profile,
+        "kg_triangles": q_kg_triangles,
     }
 
 
@@ -2437,4 +2495,5 @@ def oracle_sql() -> dict[str, str]:
         "seq_packing": SEQ_PACKING_SQL,
         "tfidf_topterms": TFIDF_SQL,
         "tbl_profile": TBL_PROFILE_SQL,
+        "kg_triangles": KG_TRIANGLES_SQL,
     }

@@ -1709,3 +1709,48 @@ class TestProfileTable:
         # HLL++ default rsd 5%
         assert abs(got["id"]["n_distinct"] - 10_000) <= 10_000 * 0.15
         assert abs(got["c"]["n_distinct"] - 100) <= 100 * 0.15
+
+
+class TestTriangleCounts:
+    """operators/graph_metrics.py: degree-oriented triangle enumeration
+    vs an itertools brute force, plus shape cases (hub star = 0
+    triangles, clique = C(n-1,2) each, duplicate/reversed/self-loop
+    input hygiene)."""
+
+    def _brute(self, edge_list):
+        import itertools
+
+        und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+        nodes = sorted({n for e in und for n in e})
+        count = {n: 0 for n in nodes}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if {(a, b), (a, c), (b, c)} <= und:
+                for n in (a, b, c):
+                    count[n] += 1
+        return {n: c for n, c in count.items() if c}
+
+    def test_random_graph_matches_brute_force(self, spark):
+        rng = random.Random(7)
+        edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+        # adversarial extras: duplicates, reversed copies, self-loops
+        edges += [(b, a) for a, b in edges[:20]] + [(5, 5), (9, 9)]
+        from xwikire_spark.operators.graph_metrics import triangle_counts
+
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(df).collect()}
+        assert got == self._brute(edges)
+
+    def test_star_and_clique(self, spark):
+        from xwikire_spark.operators.graph_metrics import triangle_counts
+
+        star = [(0, i) for i in range(1, 50)]
+        df = spark.createDataFrame(star, "src bigint, dst bigint")
+        assert triangle_counts(df).count() == 0  # hub, no closures
+        k = 8
+        clique = [(i, j) for i in range(k) for j in range(i + 1, k)]
+        got = {r["node"]: r["n_triangles"] for r in triangle_counts(
+            spark.createDataFrame(clique, "src bigint, dst bigint")
+        ).collect()}
+        want = (k - 1) * (k - 2) // 2
+        assert got == {i: want for i in range(k)}
