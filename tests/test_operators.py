@@ -1754,3 +1754,103 @@ class TestTriangleCounts:
         ).collect()}
         want = (k - 1) * (k - 2) // 2
         assert got == {i: want for i in range(k)}
+
+
+class TestIncrementalPacking:
+    """pack_sequences_incremental: 3 append-only drops == one full-batch
+    packing (incl. a window straddling the drop boundary), retry after a
+    crash-between-output-and-state duplicates/shifts nothing, and
+    overlapping batches are rejected."""
+
+    def _docs(self, spark, ids):
+        # token count = pure function of the id, so any chunking of the
+        # id range sees identical values
+        return spark.createDataFrame(
+            [(i, (i * 131 + 17) % 899 + 1) for i in ids],
+            "doc_id bigint, n_tokens bigint",
+        )
+
+    def test_three_drops_equal_full_batch(self, spark, tmp_path):
+        from xwikire_spark.operators.packing import (
+            pack_sequences,
+            pack_sequences_incremental,
+        )
+
+        sd = str(tmp_path / "pk")
+        all_ids = list(range(300))
+        full = {
+            (r["doc_id"], r["pack_id"], r["pack_offset"])
+            for r in pack_sequences(
+                self._docs(spark, all_ids), "doc_id", "n_tokens", 512
+            ).collect()
+        }
+        out = None
+        for b, chunk in enumerate(
+            (all_ids[:100], all_ids[100:180], all_ids[180:])
+        ):
+            out = pack_sequences_incremental(
+                self._docs(spark, chunk), sd, "doc_id", "n_tokens",
+                512, batch_id=b,
+            )
+        got = {(r["doc_id"], r["pack_id"], r["pack_offset"])
+               for r in out.collect()}
+        assert got == full
+
+    def test_crash_retry_is_idempotent(self, spark, tmp_path):
+        import json
+        import os
+
+        from xwikire_spark.operators.packing import (
+            pack_sequences,
+            pack_sequences_incremental,
+        )
+
+        sd = str(tmp_path / "pk")
+        ids = list(range(200))
+        pack_sequences_incremental(
+            self._docs(spark, ids[:120]), sd, "doc_id", "n_tokens",
+            512, batch_id=0,
+        )
+        state_p = os.path.join(sd, "pack_state.json")
+        saved = open(state_p).read()
+        pack_sequences_incremental(
+            self._docs(spark, ids[120:]), sd, "doc_id", "n_tokens",
+            512, batch_id=1,
+        )
+        # CRASH simulation: batch 1's output landed but the state write
+        # didn't — roll the state file back and retry the same batch
+        with open(state_p, "w") as f:
+            f.write(saved)
+        out = pack_sequences_incremental(
+            self._docs(spark, ids[120:]), sd, "doc_id", "n_tokens",
+            512, batch_id=1,
+        )
+        full = {
+            (r["doc_id"], r["pack_id"], r["pack_offset"])
+            for r in pack_sequences(
+                self._docs(spark, ids), "doc_id", "n_tokens", 512
+            ).collect()
+        }
+        got = {(r["doc_id"], r["pack_id"], r["pack_offset"])
+               for r in out.collect()}
+        assert got == full
+        assert out.count() == 200  # no duplicated rows from the retry
+        assert json.load(open(state_p))["max_order"] == 199
+
+    def test_overlapping_batch_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from xwikire_spark.operators.packing import (
+            pack_sequences_incremental,
+        )
+
+        sd = str(tmp_path / "pk")
+        pack_sequences_incremental(
+            self._docs(spark, list(range(50))), sd, "doc_id",
+            "n_tokens", 512, batch_id=0,
+        )
+        with _pytest.raises(ValueError):
+            pack_sequences_incremental(
+                self._docs(spark, [49, 50]), sd, "doc_id",
+                "n_tokens", 512, batch_id=1,
+            )
