@@ -1750,6 +1750,40 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(docs, "source", "text", k=3)
 
 
+def q_w7_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (operators/sampling.py,
+    Efraimidis-Spirakis A-Res): 5 docs per lang, inclusion proportional
+    to n_chars, reproducible (multiplicative-hash uniforms mirrored
+    verbatim in the oracle)."""
+    from xwikire_spark.operators.sampling import weighted_sample
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return weighted_sample(
+        docs, "n_chars", 5, "doc_id", strata_col="lang"
+    ).select("lang", "doc_id", "sample_rank")
+
+
+W7_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT lang, doc_id,
+         ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+            / 4294967296.0) / n_chars AS key
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY key DESC, doc_id ASC
+         ) AS rk
+  FROM keyed
+)
+SELECT lang, doc_id, CAST(rk AS INT) AS sample_rank
+FROM r WHERE rk <= 5
+"""
+
+
 def q_kg_triangles(spark, sf_dir):
     """Per-node triangle counts (operators/graph_metrics.py) over the
     strong co-purchase graph: parts sharing >= 2 distinct orders. The
@@ -1976,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "tbl_profile": q_tbl_profile,
         "kg_triangles": q_kg_triangles,
+        "w7_weighted_sample": q_w7_weighted_sample,
     }
 
 
@@ -2496,4 +2531,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topterms": TFIDF_SQL,
         "tbl_profile": TBL_PROFILE_SQL,
         "kg_triangles": KG_TRIANGLES_SQL,
+        "w7_weighted_sample": W7_WEIGHTED_SAMPLE_SQL,
     }

@@ -1854,3 +1854,63 @@ class TestIncrementalPacking:
                 self._docs(spark, [49, 50]), sd, "doc_id",
                 "n_tokens", 512, batch_id=1,
             )
+
+
+class TestWeightedSample:
+    """operators/sampling.py: A-Res weighted sampling — exactness vs a
+    python recomputation of the same keys, weight bias direction, and
+    the no-single-partition plan contract for the unstratified path."""
+
+    def _keys(self, ids, weights):
+        import math
+
+        out = {}
+        for i, w in zip(ids, weights):
+            u = ((i * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+            out[i] = math.log(u) / w
+        return out
+
+    def test_matches_python_topk(self, spark):
+        from xwikire_spark.operators.sampling import weighted_sample
+
+        ids = list(range(500))
+        weights = [(i % 7) + 1 for i in ids]
+        df = spark.createDataFrame(
+            list(zip(ids, weights)), "id bigint, w bigint"
+        )
+        got = [
+            r["id"]
+            for r in weighted_sample(df, "w", 20, "id")
+            .orderBy("sample_rank").collect()
+        ]
+        keys = self._keys(ids, weights)
+        want = sorted(ids, key=lambda i: (-keys[i], i))[:20]
+        assert got == want
+
+    def test_heavy_weights_overrepresented(self, spark):
+        from xwikire_spark.operators.sampling import weighted_sample
+
+        # 1000 light (w=1) + 1000 heavy (w=25); a 200-row sample should
+        # skew heavily toward the heavy group
+        rows = [(i, 1) for i in range(1000)]
+        rows += [(i, 25) for i in range(1000, 2000)]
+        df = spark.createDataFrame(rows, "id bigint, w bigint")
+        got = weighted_sample(df, "w", 200, "id").collect()
+        heavy = sum(1 for r in got if r["id"] >= 1000)
+        assert heavy > 160  # expected ~192; deterministic draw
+
+    def test_stratified_counts_and_plan(self, spark):
+        from xwikire_spark.operators.sampling import weighted_sample
+
+        rows = [(i, i % 3, (i % 5) + 1) for i in range(300)]
+        df = spark.createDataFrame(rows, "id bigint, s int, w bigint")
+        out = weighted_sample(df, "w", 7, "id", strata_col="s")
+        counts = {r["s"]: r["n"] for r in
+                  out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {0: 7, 1: 7, 2: 7}
+        # unstratified: TakeOrderedAndProject, no SinglePartition exchange
+        # over the corpus
+        plan = weighted_sample(
+            df, "w", 7, "id"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
