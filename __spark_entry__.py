@@ -1750,6 +1750,38 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(docs, "source", "text", k=3)
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (operators/chunking.py): 64-token
+    chunks advancing by 48 (16-token overlap) — the RAG/indexing prep
+    step, all inside whole-stage codegen."""
+    from xwikire_spark.operators.chunking import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "text", chunk_tokens=64, overlap=16, id_cols=["doc_id"]
+    )
+
+
+DOC_CHUNKS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents WHERE len(trim(text)) > 0
+),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+         list_aggregate(ws[i*48+1 : i*48+64], 'string_agg', ' ')
+           AS chunk_text,
+         least(len(ws) - i*48, 64) AS n_tokens
+  FROM w,
+       unnest(generate_series(
+         0, CAST(ceil(len(ws) / 48.0) AS INT) - 1)) AS t(i)
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text,
+       CAST(n_tokens AS INT) AS n_tokens
+FROM c
+"""
+
+
 def q_w7_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (operators/sampling.py,
     Efraimidis-Spirakis A-Res): 5 docs per lang, inclusion proportional
@@ -2011,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tbl_profile": q_tbl_profile,
         "kg_triangles": q_kg_triangles,
         "w7_weighted_sample": q_w7_weighted_sample,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -2532,4 +2565,5 @@ def oracle_sql() -> dict[str, str]:
         "tbl_profile": TBL_PROFILE_SQL,
         "kg_triangles": KG_TRIANGLES_SQL,
         "w7_weighted_sample": W7_WEIGHTED_SAMPLE_SQL,
+        "doc_chunks": DOC_CHUNKS_SQL,
     }

@@ -1914,3 +1914,66 @@ class TestWeightedSample:
             df, "w", 7, "id"
         )._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestChunkDocuments:
+    """operators/chunking.py: overlap contract, full coverage, short
+    final chunk, empty-doc exclusion, and the oracle layout."""
+
+    def test_layout_contract(self, spark):
+        from xwikire_spark.operators.chunking import chunk_documents
+
+        words = [f"w{i}" for i in range(10)]
+        df = spark.createDataFrame(
+            [(1, " ".join(words)), (2, "a b"), (3, "   ")],
+            "doc_id bigint, text string",
+        )
+        out = chunk_documents(
+            df, chunk_tokens=4, overlap=1, id_cols=["doc_id"]
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 3 (whitespace-only) produces nothing
+        assert set(by_doc) == {1, 2}
+        d1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+        # step=3: starts 0,3,6,9 -> 4 chunks; last is short
+        assert [r["chunk_text"] for r in d1] == [
+            "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+        ]
+        assert [r["n_tokens"] for r in d1] == [4, 4, 4, 1]
+        # consecutive chunks share exactly `overlap` tokens
+        for a, b in zip(d1, d1[1:]):
+            ta, tb = a["chunk_text"].split(), b["chunk_text"].split()
+            assert ta[-1:] == tb[:1]
+        # coverage: concatenating with overlap removed rebuilds the doc
+        rebuilt = d1[0]["chunk_text"].split()
+        for r in d1[1:]:
+            rebuilt += r["chunk_text"].split()[1:]
+        assert rebuilt == words
+        assert by_doc[2][0]["chunk_text"] == "a b"
+        assert by_doc[2][0]["n_tokens"] == 2
+
+    def test_bad_overlap_rejected(self, spark):
+        import pytest as _pytest
+
+        from xwikire_spark.operators.chunking import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        for chunk, ov in ((4, 4), (4, 5), (4, -1)):
+            with _pytest.raises(ValueError):
+                chunk_documents(df, chunk_tokens=chunk, overlap=ov)
+
+    def test_all_jvm_no_python(self, spark):
+        from xwikire_spark.operators.chunking import chunk_documents
+
+        df = spark.createDataFrame(
+            [(i, "lorem ipsum dolor sit amet " * 20) for i in range(50)],
+            "doc_id bigint, text string",
+        )
+        plan = chunk_documents(
+            df
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "BatchEvalPython" not in plan
