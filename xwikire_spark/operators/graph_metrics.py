@@ -37,12 +37,23 @@ def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-node triangle participation: (node, n_triangles), nodes in no
     triangle omitted. Input edges are treated as undirected; duplicates
-    and self-loops are ignored."""
+    and self-loops are ignored.
+
+    ``materialize`` (default on) localCheckpoints the canonical and
+    oriented edge sets: both are referenced by multiple join branches
+    (degrees, wedges, closure), and without severing lineage each branch
+    re-derives the full upstream edge computation — measured 56 exchange
+    nodes vs 10 on the co-purchase graph. Both frames are O(m)."""
     und = _canonical_undirected(edges, src, dst)
+    if materialize:
+        und = und.localCheckpoint()
     # degree over the undirected edge set
     deg = (
         und.select(F.col("u").alias("node"))
@@ -62,6 +73,8 @@ def triangle_counts(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
     )
+    if materialize:
+        oriented = oriented.localCheckpoint()
     # wedges between out-neighbors of the same pivot, closed against the
     # oriented edge set (a triangle has exactly one node with out-edges
     # to the other two under an acyclic orientation)
