@@ -50,6 +50,10 @@ HEADLINE = [
     "evt_asof_join",
     "seq_packing",
     "tfidf_topterms",
+    "tbl_profile",
+    "kg_triangles",
+    "w7_weighted_sample",
+    "doc_chunks",
 ]
 
 # Headline-only queries (not driver oracle rows): iterative fixpoints have
