@@ -184,6 +184,10 @@ def main() -> None:
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # [EXECUTED 2026-08-18 as BENCH/bench_r05_scaling_windowD.json:
+        # normalized paired median 0.859 >= 0.8 — recorded FINAL in
+        # BENCH/BASELINE.md r6.0; the declaration below is kept verbatim
+        # as the pre-registration record.]
         # ROUND-5 PRE-DECLARATION (VERDICT r4 #4, written BEFORE window D
         # runs): ONE confirmation window for the pre-filtered workload —
         # repl=6000, 8 interleaved pinned rounds, protocol UNCHANGED from
