@@ -1750,6 +1750,35 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(docs, "source", "text", k=3)
 
 
+def q_doc_quantiles(spark, sf_dir):
+    """Exact per-language n_chars quartiles (operators/quantiles.py,
+    type-1 / percentile_disc semantics — deterministic, no
+    interpolation): one window shuffle, group sizes ride the same
+    partition, quantile membership tested with an array `exists` (no
+    join, no second aggregate)."""
+    from xwikire_spark.operators.quantiles import exact_group_quantiles
+
+    docs = _load(spark, sf_dir, "documents")
+    return exact_group_quantiles(
+        docs.select("lang", "n_chars", "doc_id"),
+        "n_chars", "lang", [0.25, 0.5, 0.75, 1.0], tiebreak_col="doc_id",
+    )
+
+
+DOC_QUANTILES_SQL = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(q AS DOUBLE) AS q, n_chars AS value
+FROM r, (VALUES (0.25), (0.5), (0.75), (1.0)) AS t(q)
+WHERE CAST(ceil(q * n) AS BIGINT) = rk
+"""
+
+
 def q_doc_chunks(spark, sf_dir):
     """Overlapping token-window chunking (operators/chunking.py): 64-token
     chunks advancing by 48 (16-token overlap) — the RAG/indexing prep
@@ -2044,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "w7_weighted_sample": q_w7_weighted_sample,
         "doc_chunks": q_doc_chunks,
+        "doc_quantiles": q_doc_quantiles,
     }
 
 
@@ -2566,4 +2596,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": KG_TRIANGLES_SQL,
         "w7_weighted_sample": W7_WEIGHTED_SAMPLE_SQL,
         "doc_chunks": DOC_CHUNKS_SQL,
+        "doc_quantiles": DOC_QUANTILES_SQL,
     }

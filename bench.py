@@ -54,6 +54,7 @@ HEADLINE = [
     "kg_triangles",
     "w7_weighted_sample",
     "doc_chunks",
+    "doc_quantiles",
 ]
 
 # Headline-only queries (not driver oracle rows): iterative fixpoints have

@@ -1977,3 +1977,41 @@ class TestChunkDocuments:
         assert "ArrowEvalPython" not in plan
         assert "MapInPandas" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestExactGroupQuantiles:
+    def test_matches_numpy_type1(self, spark):
+        import math
+
+        from xwikire_spark.operators.quantiles import exact_group_quantiles
+
+        rng = random.Random(23)
+        rows = [(i, i % 3, rng.randrange(1000)) for i in range(500)]
+        df = spark.createDataFrame(rows, "id bigint, g int, v bigint")
+        got = {(r["g"], r["q"]): r["value"] for r in exact_group_quantiles(
+            df, "v", "g", [0.1, 0.5, 0.9, 1.0], tiebreak_col="id"
+        ).collect()}
+        by_g = {}
+        for _i, g, v in rows:
+            by_g.setdefault(g, []).append(v)
+        for g, vs in by_g.items():
+            vs.sort()
+            for q in (0.1, 0.5, 0.9, 1.0):
+                assert got[(g, q)] == vs[math.ceil(q * len(vs)) - 1]
+        assert len(got) == 12
+
+    def test_duplicates_and_bad_q(self, spark):
+        import pytest as _pytest
+
+        from xwikire_spark.operators.quantiles import exact_group_quantiles
+
+        df = spark.createDataFrame(
+            [(i, 0, 7) for i in range(10)], "id bigint, g int, v bigint"
+        )
+        got = exact_group_quantiles(
+            df, "v", "g", [0.5], tiebreak_col="id"
+        ).collect()
+        assert len(got) == 1 and got[0]["value"] == 7
+        for bad in ([], [0.0], [1.5]):
+            with _pytest.raises(ValueError):
+                exact_group_quantiles(df, "v", "g", bad)
