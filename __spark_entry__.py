@@ -63,7 +63,16 @@ def kg_turns_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a transcript-shaped table from documents: conv_id = doc_id,
     turns = consecutive 12-word windows (S1/X7 analog; identical slicing in
     the DuckDB oracle)."""
-    docs = _load(spark, sf_dir, "documents")
+    # One-row-group testbox shim (same rationale as q_txt_hygiene): the sf
+    # documents parquet is a single unsplittable row group, so the whole
+    # turn-derivation + every downstream mention/locate stage would run in
+    # ONE scan task; a deterministic hash exchange on doc_id spreads it
+    # across the cluster. At real scale the input arrives in thousands of
+    # splits and this is one cheap pass (guide §2.5: repartition
+    # immediately after an unsplittable read).
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     words = F.split(F.col("text"), " ")
     n_turns = F.ceil(F.size(words) / F.lit(TURN_WORDS)).cast("int")
     turns = F.transform(
@@ -158,12 +167,25 @@ def kg_triples_from_turns(turns: DataFrame) -> DataFrame:
         ),
         lambda x: x["pos"] > 0,
     )
+    # Generate barrier (the candidates_jvm pattern): materialize ms/ps ONCE
+    # behind an explode-of-one-struct. Naive select + where lets Catalyst
+    # re-inline the 10-locate() array construction into the size filter,
+    # the subj/pred projection AND the pushed isnotnull filter — the before
+    # plan evaluated every locate() 3-4x per turn (plans/r07/
+    # kg_triples_before.txt Filter(4)/Project(5)/Project(6)).
+    g = turns.select(
+        "conv_id", "turn_idx", "text",
+        F.explode(
+            F.array(F.struct(m_arr.alias("ms"), p_arr.alias("ps")))
+        ).alias("r"),
+    )
     base = (
-        turns.select("conv_id", "turn_idx", "text",
-                     m_arr.alias("ms"), p_arr.alias("ps"))
-        .where((F.size("ms") >= 2) & (F.size("ps") >= 1))
-        .withColumn("subj", F.element_at(F.array_sort("ms"), 1)["entity_id"])
-        .withColumn("pred", F.element_at(F.array_sort("ps"), 1)["pid"])
+        g.where((F.size("r.ms") >= 2) & (F.size("r.ps") >= 1))
+        .select(
+            "conv_id", "turn_idx", "text", F.col("r.ms").alias("ms"),
+            F.element_at(F.array_sort("r.ms"), 1)["entity_id"].alias("subj"),
+            F.element_at(F.array_sort("r.ps"), 1)["pid"].alias("pred"),
+        )
     )
     cands = (
         base.select(
@@ -511,17 +533,33 @@ def q_j2_broadcast_dim(spark, sf_dir):
 
 def q_j5_theta_self_join(spark, sf_dir):
     """J5: within-group pairwise self-join (negative generation analog,
-    QA.py:86-107): co-ordered part pairs per order."""
+    QA.py:86-107): co-ordered part pairs per order.
+
+    r7 optimization (guide §2.3 "aggregate before you shuffle" / §8
+    "decide with small rows"): the pair COUNT per order never needs the
+    pairs materialized. With c_i = multiplicity of partkey i in the order
+    and T = Σc_i, the theta-join row count per order is exactly
+    Σ_{i<j} c_i c_j = (T² − Σc_i²) / 2 — two hash aggregates replace the
+    sort-merge self-join + pair explosion (the before plan shuffled
+    lineitem twice and emitted 13.6M join rows at sf1; this shape
+    shuffles one combined (orderkey, partkey) aggregate). Orders where
+    every line shares one partkey produced no join rows, hence the
+    n_pairs > 0 filter. Value-identical to the unchanged oracle SQL
+    (proved via scripts/check_oracle.py; the theta-join OPERATOR itself
+    still lives in pipeline/negatives.py with its own tests)."""
     li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    per_pk = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    return pairs.groupBy(F.col("a.l_orderkey").alias("l_orderkey")).agg(
-        F.count(F.lit(1)).alias("n_pairs")
+    return (
+        per_pk.groupBy("l_orderkey")
+        .agg(
+            (
+                (F.sum("c") * F.sum("c") - F.sum(F.col("c") * F.col("c")))
+                / F.lit(2)
+            ).cast("long").alias("n_pairs")
+        )
+        .where(F.col("n_pairs") > 0)
     )
 
 
@@ -1855,19 +1893,32 @@ def q_kg_triangles(spark, sf_dir):
     from xwikire_spark.operators.graph_metrics import triangle_counts
 
     li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            "l_orderkey",
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
+    # r7 optimization (guide §2.3/§2.4): the before plan self-joined
+    # lineitem on l_orderkey (sort-merge, two sorted copies of 6M rows)
+    # and then needed a count_DISTINCT(l_orderkey) expand to dedup pairs
+    # repeated inside one order. Collapsing each order to its DISTINCT
+    # part set first (one hash aggregate; basket sizes are bounded, so the
+    # per-order pair expansion is the same O(k²) the join paid) emits each
+    # (order, u, v) pair exactly once — the distinct is free and the
+    # support count becomes a plain partial-aggregatable count(*). One
+    # shuffle of (orderkey, partkey) + one of the pairs, no join. Same
+    # edge set, unchanged oracle SQL.
+    parts = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("pks")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("pks"),
+            lambda x, i: F.transform(
+                F.slice(F.col("pks"), i + 2, F.size(F.col("pks"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
         )
     )
+    pairs = parts.select(F.explode(combos).alias("p"))
     edges = (
-        pairs.groupBy("u", "v")
-        .agg(F.count_distinct("l_orderkey").alias("w"))
+        pairs.groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= 2)
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )

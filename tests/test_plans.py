@@ -16,7 +16,15 @@ class TestFlagshipPlans:
         import __spark_entry__ as e
 
         df = e.kg_triples_df(spark, "/root/testdata/sf0.001")
-        assert count_exchanges(df) == 1, "flagship must shuffle exactly once"
+        # r7: exactly 2 exchanges — the deliberate input-spreading
+        # repartition right after the one-row-group parquet read (guide
+        # §2.5; without it the whole turn+mention derivation runs in ONE
+        # scan task at bench scale) plus the single first-evidence
+        # aggregation shuffle. Anything above 2 means re-inlining crept
+        # back in.
+        assert count_exchanges(df) == 2, (
+            "flagship must shuffle exactly twice (input spread + dedup)"
+        )
         schemas = scan_read_schemas(df)
         assert schemas and all(
             "doc_id" in s and "text" in s and "lang" not in s
@@ -99,9 +107,11 @@ class TestFlagshipPlans:
 
     def test_join_strategy_single_tokenize_pass(self, spark):
         # the large-dictionary join path must tokenize ONCE (tagged union
-        # of both dictionaries): 2 ArrowEval stages (segment, word-offsets)
-        # and no per-branch re-evaluation (the naive split measured 6
-        # ArrowEval / 9 exchanges)
+        # of both dictionaries): since r7, ONE fused ArrowEval stage
+        # (segment + word-offsets in a single pandas UDF) and no
+        # per-branch re-evaluation (the naive split measured 6 ArrowEval /
+        # 9 exchanges; the pre-r7 shape was 2 ArrowEval + a min-over-
+        # window pass costing an extra exchange)
         import re
 
         import pandas as pd
@@ -116,8 +126,8 @@ class TestFlagshipPlans:
         pr = spark.createDataFrame(pd.DataFrame(datagen.predicate_rows()))
         df = extract_triples(t, al, pr, dict_strategy="join")
         plan = optimized_plan(df)
-        assert len(re.findall(r"ArrowEvalPython", plan)) == 2, plan
-        assert count_exchanges(df) <= 4
+        assert len(re.findall(r"ArrowEvalPython", plan)) == 1, plan
+        assert count_exchanges(df) <= 3
 
     def test_facts_object_join_not_broadcast(self, spark):
         # J3: the wikibase object side is the FULL entity table — the plan

@@ -185,6 +185,48 @@ word_offsets_udf = F.pandas_udf(
     WORD_OFFSETS_SCHEMA,
 )
 
+# Fused segmentation + word-run offsets: text -> one struct per sentence
+# carrying its token offsets. The join-based extraction path needs BOTH
+# kernels; running them as two chained pandas UDFs costs two Arrow
+# round-trips and re-serializes every sentence into the second UDF
+# (guide §4: you control how many columns cross and how often). One UDF,
+# one Python stage — same pure kernels, bit-identical output.
+
+SENT_WORDS_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("sentence", StringType()),
+            StructField(
+                "ws",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("tok", StringType()),
+                            StructField("pos", IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+)
+
+segment_word_offsets_udf = F.pandas_udf(
+    lambda s: s.map(
+        lambda t: [
+            {
+                "sentence": sent,
+                "ws": [
+                    {"tok": m.group(), "pos": m.start()}
+                    for m in _WORD_RUN.finditer(sent)
+                ],
+            }
+            for sent in segment_sentences(t or "")
+        ]
+    ),
+    SENT_WORDS_SCHEMA,
+)
+
 
 # ---------------------------------------------------------------------------
 # Date formatting (X11), template filling (X14), article extraction (X15):

@@ -602,6 +602,34 @@ _MATCH_STRUCT = (
 )
 
 
+def _greedy_kept(ms_col: Column) -> Column:
+    """Greedy leftmost-longest fold over a SORTED match-struct array —
+    the regex automaton's finditer-consumption semantics (an earlier
+    longer match consumes the text under it; same-span alias collisions
+    all emit) as an aggregate fold. Shared by detect_mentions_join and
+    the fused extract_triples_join path."""
+    acc0 = F.struct(
+        F.lit(-1).alias("last_start"),
+        F.lit(0).alias("cur_end"),
+        F.array().cast(f"array<{_MATCH_STRUCT}>").alias("kept"),
+    )
+
+    def step(acc, x):
+        take = (x["start"] >= acc["cur_end"]) | (
+            (x["start"] == acc["last_start"]) & (x["end"] == acc["cur_end"])
+        )
+        return F.when(
+            take,
+            F.struct(
+                x["start"].alias("last_start"),
+                x["end"].alias("cur_end"),
+                F.array_append(acc["kept"], x).alias("kept"),
+            ),
+        ).otherwise(acc)
+
+    return F.aggregate(ms_col, acc0, step)["kept"]
+
+
 def detect_mentions_join(
     sentences: DataFrame,
     pairs: DataFrame,
@@ -688,26 +716,7 @@ def detect_mentions_join(
     # greedy fold: sorted by (start asc, longest first, id); accept a match
     # when it starts at/after the consumed frontier, or shares the exact
     # span of the last accepted match (alias collision -> one mention per id)
-    acc0 = F.struct(
-        F.lit(-1).alias("last_start"),
-        F.lit(0).alias("cur_end"),
-        F.array().cast(f"array<{_MATCH_STRUCT}>").alias("kept"),
-    )
-
-    def step(acc, x):
-        take = (x["start"] >= acc["cur_end"]) | (
-            (x["start"] == acc["last_start"]) & (x["end"] == acc["cur_end"])
-        )
-        return F.when(
-            take,
-            F.struct(
-                x["start"].alias("last_start"),
-                x["end"].alias("cur_end"),
-                F.array_append(acc["kept"], x).alias("kept"),
-            ),
-        ).otherwise(acc)
-
-    kept = F.aggregate(F.col("ms"), acc0, step)["kept"]
+    kept = _greedy_kept(F.col("ms"))
     return grouped.select(
         *ks, "sentence", *tag, F.explode(kept).alias("k")
     ).select(
@@ -746,20 +755,49 @@ def extract_triples_join(
     union into one tagged table, so tokenization + the dictionary join run
     ONCE (a naive mentions/predicates split re-evaluates the Python
     tokenizer subtree per branch — measured 6 ArrowEval stages / 9
-    exchanges; this shape has 1 Python chain and the per-sentence
-    subject/predicate selection is a single window over the fold output,
-    not self-joins)."""
+    exchanges).
+
+    r7 optimization (guide §4.1 + §2.4, before/after plans in
+    plans/r07/kg_triples_joinpath_*.txt): segmentation + word-run offsets
+    run as ONE fused pandas UDF (was two chained ArrowEval stages — every
+    sentence crossed the Arrow boundary twice), and the per-sentence
+    subject/predicate selection folds into the SAME aggregate that
+    collects the match lists (one sorted list per dictionary tag, greedy
+    fold per tag) — the separate min-over-window pass, whose extra
+    Exchange + sort carried every match row a second time, is gone.
+    Value-identical: the per-tag sorted collect_list is exactly the
+    per-(sentence, tag) list the old groupBy built, the fold is the same
+    ``_greedy_kept``, and the old window-min over (m_start, entity_id,
+    surface) equals element 1 of the folded list (entries are sorted by
+    (start, neg_len, id, ...) and distinct starts — same-span collisions
+    excepted, where both orders tie-break by entity_id)."""
+    from xwikire_spark.functions.udfs import segment_word_offsets_udf
+
     ks = ["conv_id", "turn_idx", "sent_idx"]
     sentences = (
         transcripts.where(F.length(F.trim(F.col("text"))) > 0)
         .select(
             "conv_id",
             "turn_idx",
-            F.posexplode(segment_udf(F.col("text"))).alias(
-                "sent_idx", "sentence"
+            F.posexplode(segment_word_offsets_udf(F.col("text"))).alias(
+                "sent_idx", "s"
             ),
         )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "sent_idx",
+            F.col("s.sentence").alias("sentence"),
+            F.col("s.ws").alias("ws"),
+        )
     )
+    toks = sentences.select(
+        *ks, "sentence", F.explode("ws").alias("w")
+    ).select(
+        *ks, "sentence",
+        F.col("w.tok").alias("tok"), F.col("w.pos").alias("pos"),
+    )
+
     tagged = alias_dict.select(
         "alias", "entity_id", F.lit("E").alias("tag")
     ).unionByName(
@@ -767,51 +805,82 @@ def extract_triples_join(
             "alias", "entity_id", F.lit("P").alias("tag")
         )
     )
-    matches = detect_mentions_join(sentences, tagged, tag_col="tag")
+    # same dictionary hygiene contract as detect_mentions_join
+    contract = F.col("alias").rlike(r"(?Us)^\w(.*\w)?$")
+    dic = (
+        tagged.where(F.col("alias").isNotNull() & contract)
+        .distinct()
+        .withColumn("tok", F.regexp_extract("alias", r"(?U)\w+", 0))
+        .where(F.col("tok") != "")
+    )
 
-    # earliest entity mention = subject, earliest predicate surface =
-    # relation — min over structs ordered (start, id, surface), the Python
-    # path's min(ms) exactly; ONE window over the sentence key serves both
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*ks)
-    sb = F.min(
-        F.when(
-            F.col("tag") == "E",
-            F.struct(
-                F.col("m_start").alias("s"),
-                F.col("entity_id").alias("id"),
-                F.col("surface").alias("sf"),
-            ),
+    cand = toks.join(dic, "tok")
+    after = F.substring(
+        F.col("sentence"), F.col("pos") + F.length("alias") + 1, 1
+    )
+    verified = cand.where(
+        (
+            F.substring(F.col("sentence"), F.col("pos") + 1, F.length("alias"))
+            == F.col("alias")
         )
-    ).over(w)
-    pb = F.min(
-        F.when(
-            F.col("tag") == "P",
-            F.struct(
-                F.col("m_start").alias("s"),
-                F.col("entity_id").alias("id"),
-                F.col("surface").alias("sf"),
-            ),
-        )
-    ).over(w)
-    enriched = matches.withColumn("sb", sb).withColumn("pb", pb)
-    cands = enriched.where(
-        (F.col("tag") == "E")
-        & F.col("pb").isNotNull()
-        & (F.col("entity_id") != F.col("sb.id"))
-    ).select(
-        "conv_id",
-        "turn_idx",
-        "sent_idx",
+        & ~F.coalesce(F.regexp_like(after, F.lit(r"(?U)\w")), F.lit(False))
+    )
+    mstruct = F.struct(
+        F.col("pos").cast("int").alias("start"),
+        (-F.length("alias")).cast("int").alias("neg_len"),
+        F.col("entity_id").alias("entity_id"),
+        F.col("alias").alias("surface"),
+        (F.col("pos") + F.length("alias")).cast("int").alias("end"),
+    )
+    m = verified.select(*ks, "sentence", "tag", mstruct.alias("m"))
+    grouped = m.groupBy(*ks, "sentence").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("tag") == "E", F.col("m")))
+        ).alias("ms_e"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("tag") == "P", F.col("m")))
+        ).alias("ms_p"),
+    )
+    # Generate barrier: fold each tag's list ONCE (downstream references
+    # ke twice — subject pick + object explode — and projection collapse
+    # would re-inline the aggregate fold per reference)
+    g = grouped.select(
+        *ks,
         "sentence",
-        F.col("sb.id").alias("subj"),
-        F.col("sb.sf").alias("subj_surface"),
-        F.col("pb.id").alias("pid"),
-        F.col("pb.sf").alias("p_surface"),
-        F.col("entity_id").alias("obj"),
-        F.col("surface").alias("obj_surface"),
-        F.col("m_start").alias("obj_start"),
+        F.explode(
+            F.array(
+                F.struct(
+                    _greedy_kept(F.col("ms_e")).alias("ke"),
+                    _greedy_kept(F.col("ms_p")).alias("kp"),
+                )
+            )
+        ).alias("r"),
+    )
+    sb = F.element_at(F.col("r.ke"), 1)
+    pb = F.element_at(F.col("r.kp"), 1)
+    cands = (
+        g.where((F.size("r.ke") >= 1) & (F.size("r.kp") >= 1))
+        .select(
+            *ks,
+            "sentence",
+            sb["entity_id"].alias("subj"),
+            sb["surface"].alias("subj_surface"),
+            pb["entity_id"].alias("pid"),
+            pb["surface"].alias("p_surface"),
+            F.explode("r.ke").alias("k"),
+        )
+        .where(F.col("k.entity_id") != F.col("subj"))
+        .select(
+            *ks,
+            "sentence",
+            "subj",
+            "subj_surface",
+            "pid",
+            "p_surface",
+            F.col("k.entity_id").alias("obj"),
+            F.col("k.surface").alias("obj_surface"),
+            F.col("k.start").alias("obj_start"),
+        )
     )
     return _first_evidence(cands)
 

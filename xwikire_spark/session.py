@@ -56,7 +56,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Input split size (guide §2.5 input skew / §6): parameterised via
+        # env because the right value is deployment-dependent. The LOCAL
+        # default is 16m: the bench corpus arrives as single 100-MB-class
+        # parquet files, and the default 128m packs a whole table into ONE
+        # scan task, serializing every pre-shuffle stage on one of 32
+        # cores (measured: lineitem 6M rows = 1 task). On a real cluster
+        # reading thousands of files, raise to 512m-1g (guide §6: fewer,
+        # larger map tasks feeding each shuffle).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.executorEnv.PYTHONPATH", repo_root)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
