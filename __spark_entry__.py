@@ -681,7 +681,11 @@ def q_a2_vocab(spark, sf_dir):
     """A2: frequency vocab with reserved-offset ranks (vocabs.py:29-71)."""
     from xwikire_spark.operators.vocab import build_vocab
 
-    docs = _load(spark, sf_dir, "documents")
+    # one-row-group testbox shim (see kg_turns_df): spreads the
+    # tokenize-explode + partial count pass
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return build_vocab(docs, "text", split_pattern=" ")
 
 
@@ -1784,7 +1788,11 @@ def q_tfidf_topterms(spark, sf_dir):
     aggregates + broadcast scalar + per-group top-k window."""
     from xwikire_spark.operators.ranking import tfidf_top_terms
 
-    docs = _load(spark, sf_dir, "documents")
+    # one-row-group testbox shim (see kg_turns_df): spreads the
+    # tokenize-explode pass; both frame branches reuse the one exchange
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return tfidf_top_terms(docs, "source", "text", k=3)
 
 
@@ -1823,7 +1831,11 @@ def q_doc_chunks(spark, sf_dir):
     step, all inside whole-stage codegen."""
     from xwikire_spark.operators.chunking import chunk_documents
 
-    docs = _load(spark, sf_dir, "documents")
+    # one-row-group testbox shim (see kg_turns_df): without it the whole
+    # split+chunk expansion runs in ONE scan task
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return chunk_documents(
         docs, "text", chunk_tokens=64, overlap=16, id_cols=["doc_id"]
     )

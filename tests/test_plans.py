@@ -127,7 +127,15 @@ class TestFlagshipPlans:
         df = extract_triples(t, al, pr, dict_strategy="join")
         plan = optimized_plan(df)
         assert len(re.findall(r"ArrowEvalPython", plan)) == 1, plan
-        assert count_exchanges(df) <= 3
+        # 5 = dictionary distinct + both sides of the pinned shuffled-hash
+        # dictionary join (the dictionary must NOT broadcast — that is
+        # this strategy's contract) + match aggregate + first-evidence
+        assert count_exchanges(df) <= 5
+        # the corpus side must never be the broadcast build side (r7: the
+        # planner's post-UDF estimates picked BuildLeft over the whole
+        # tokenized corpus)
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in phys, phys
 
     def test_facts_object_join_not_broadcast(self, spark):
         # J3: the wikibase object side is the FULL entity table — the plan

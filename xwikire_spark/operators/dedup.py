@@ -594,15 +594,28 @@ def ngram_jaccard_pairs_within_groups(
     token df exceeds the cap; n_a/n_b denominators are computed before the
     cap and stay exact. The default is None so exactness is never lost
     silently — callers running hot-group corpora opt in explicitly."""
-    toks = docs.select(
-        *group_cols, "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.col(text_col), " "))
-        ).alias("token"),
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
-    guarded = toks
+    # r7 shape (guide §2.3/§2.4; before/after in plans/r07/
+    # dedup_near_jaccard_*.txt): the old inverted-index self-join emitted
+    # one row per (pair, shared token) — ~300M intermediate rows at sf1
+    # (16.7M in-group pairs x ~18 shared tokens) feeding a pair-count
+    # aggregate shuffle. Since a doc's distinct-token set rides one array
+    # cell, the intersection size is computable PER PAIR in-stream
+    # (array_intersect inside the join stage): the token-level join and
+    # the giant aggregate disappear; the only shuffles left are the
+    # group-key exchange of 50k set rows (reused on both join sides) and
+    # nothing else. Same pair set, same jaccard values: |A ∩ B| via
+    # array_intersect == the old per-token row count, and the inter >= 1
+    # guard reproduces "pairs sharing at least one (uncapped) token".
+    base = docs.select(
+        *group_cols,
+        "doc_id",
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("__tokset"),
+    ).withColumn("__n", F.size("__tokset"))
     if max_token_df is not None:
+        toks = base.select(
+            *group_cols, "doc_id", "__n",
+            F.explode("__tokset").alias("token"),
+        )
         guarded = (
             toks.withColumn(
                 "token_df",
@@ -613,28 +626,36 @@ def ngram_jaccard_pairs_within_groups(
             .where(F.col("token_df") <= max_token_df)
             .drop("token_df")
         )
-    a = guarded.alias("a")
-    b = guarded.alias("b")
-    shared = (
-        a.join(b, group_cols + ["token"])
+        sets = guarded.groupBy(*group_cols, "doc_id", "__n").agg(
+            F.collect_list("token").alias("__tokset")
+        )
+    else:
+        sets = base
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = F.size(
+        F.array_intersect(F.col("a.__tokset"), F.col("b.__tokset"))
+    )
+    # generate barrier: materialize the intersection size once per pair
+    # (naive select+filter lets projection collapse re-inline the
+    # array_intersect into the threshold filter)
+    g = (
+        a.join(b, group_cols)
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.__n").alias("n_a"),
+            F.col("b.__n").alias("n_b"),
+            F.explode(F.array(inter)).alias("inter"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jaccard = F.col("inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
     )
     return (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                    .withColumnRenamed("n_toks", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_toks", "n_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        g.where((F.col("inter") > 0) & (jaccard >= threshold))
+        .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
     )
 
 

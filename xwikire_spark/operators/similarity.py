@@ -48,14 +48,19 @@ def cosine_topk_bruteforce(
     centroid/candidate set small); here queries are the small side so we
     broadcast them instead — either way the big table never shuffles.
     """
+    # r7: norms are precomputed per SIDE before the pair expansion — the
+    # old plan re-evaluated _norm(qv) once per corpus row and _norm(cv)
+    # once per query (guide §2.3: don't recompute per pair what is a
+    # per-row property). Same expression on the same data, so the cosine
+    # values (and the rank order) are bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -64,7 +69,7 @@ def cosine_topk_bruteforce(
             "neighbor_id",
             (
                 _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+                / (F.col("qn") * F.col("cn"))
             ).alias("cos"),
         )
     )

@@ -686,7 +686,10 @@ def detect_mentions_join(
         .where(F.col("tok") != "")
     )
 
-    cand = toks.join(dic, "tok")
+    # shuffled-hash with the dictionary as build side (see the r7 note in
+    # extract_triples_join: Catalyst's post-UDF size estimates otherwise
+    # pick the corpus as the broadcast build)
+    cand = toks.join(dic.hint("shuffle_hash"), "tok")
     after = F.substring(
         F.col("sentence"), F.col("pos") + F.length("alias") + 1, 1
     )
@@ -774,6 +777,11 @@ def extract_triples_join(
     from xwikire_spark.functions.udfs import segment_word_offsets_udf
 
     ks = ["conv_id", "turn_idx", "sent_idx"]
+    # (A keys-only token shuffle + a sentence attach-back join was
+    # prototyped here — guide §8 "shuffle metadata, not payloads" — but
+    # column pruning diverges the two consumers' subtrees below any
+    # shared exchange, so the Python stage runs twice; measured net-worse
+    # than one sentence-carrying shuffle. See OPTIMIZATION_r07.md.)
     sentences = (
         transcripts.where(F.length(F.trim(F.col("text"))) > 0)
         .select(
@@ -814,7 +822,15 @@ def extract_triples_join(
         .where(F.col("tok") != "")
     )
 
-    cand = toks.join(dic, "tok")
+    # r7: pin the join to SHUFFLED HASH with the dictionary as build side.
+    # Catalyst's size estimate below the Python stage is garbage, and at
+    # bench scale it chose BuildLeft — broadcasting the 3M-row tokenized
+    # CORPUS (the whole ArrowEval chain collected through the driver) and
+    # streaming the dictionary. The hint keeps the operator's contract
+    # (the dictionary never leaves the cluster — it meets the tokens in a
+    # shuffle, the honest at-scale shape) while building the per-partition
+    # hash from the side that is bounded per partition.
+    cand = toks.join(dic.hint("shuffle_hash"), "tok")
     after = F.substring(
         F.col("sentence"), F.col("pos") + F.length("alias") + 1, 1
     )

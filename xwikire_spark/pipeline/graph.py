@@ -119,7 +119,13 @@ def entity_salience(
     # expensive upstream (the live extraction pipeline) would otherwise
     # re-run per branch (measured 6x at sf0.01). Same pattern as the
     # per-iteration checkpoints inside pagerank.
-    triples = triples.localCheckpoint()
+    #
+    # r7: checkpoint ONLY the three columns every consumer needs (guide
+    # §2.3 project-before-materialize). The full-width checkpoint forced
+    # the extraction to materialize its evidence sentences and min_by
+    # payload; the narrow projection lets Catalyst prune them out of the
+    # upstream aggregate entirely (no consumer here reads id/evidence).
+    triples = triples.select("subj", "obj", "conv_id").localCheckpoint()
     e = triples.select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
@@ -182,15 +188,24 @@ def pagerank(
     production choice.
     """
     e = edges.select("src", "dst")
-    endpoints = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
+    from pyspark.sql import Observation
+
+    # r7 init merge: ONE aggregate derives the endpoint vertex set AND
+    # out-degrees (the old init ran a separate endpoints-distinct, an
+    # out-degree aggregate and a vertex left-join, checkpointed the
+    # vertex frame, then a THIRD checkpoint just to observe the initial
+    # dangling mass). The vertex count and the dangling-vertex count both
+    # ride this single checkpoint job via observe(); since initial ranks
+    # are all 1.0, dang0 = n_dangling * 1.0 exactly — same value the old
+    # ranks-frame observation produced.
+    deg_all = (
+        e.select(F.col("src").alias("id"), F.lit(1).alias("c"))
+        .unionByName(e.select(F.col("dst").alias("id"), F.lit(0).alias("c")))
+        .groupBy("id")
+        .agg(F.sum("c").alias("out_deg"))
     )
-    if vertices is None:
-        vertices = endpoints
-    else:
-        missing = endpoints.join(
+    if vertices is not None:
+        missing = deg_all.select("id").join(
             vertices.select("id"), "id", "left_anti"
         ).count()
         if missing:
@@ -199,41 +214,39 @@ def pagerank(
                 " supplied vertices frame; vertices must be a superset of"
                 " edge endpoints or rank mass leaks every iteration"
             )
-    from pyspark.sql import Observation
-
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # vertices carry a has_out flag once, so every iteration can observe
-    # the dangling mass for free instead of re-deriving membership; the
-    # vertex count rides the same checkpoint job via observe()
+        deg_all = vertices.select("id").join(deg_all, "id", "left")
     vobs = Observation()
-    v = (
-        vertices.select("id")
-        .join(
-            out_deg.select(
-                F.col("src").alias("id"), F.lit(True).alias("has_out")
-            ),
-            "id",
-            "left",
+    dv = (
+        deg_all.observe(
+            vobs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("out_deg"), F.lit(0)) == 0, 1
+                ).otherwise(0)
+            ).alias("n_dang"),
         )
-        .observe(vobs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    n = dict(vobs.get).get("n") or 0
+    got = dict(vobs.get)
+    n = got.get("n") or 0
     if n == 0:
-        return v.select("id").withColumn("rank", F.lit(0.0))
+        return dv.select("id").withColumn("rank", F.lit(0.0))
+    # vertex frame with the has_out flag: a cheap projection of the
+    # checkpointed degree frame — no second materialization needed
+    v = dv.select(
+        "id", (F.coalesce(F.col("out_deg"), F.lit(0)) > 0).alias("has_out")
+    )
     # edges pre-joined with out-degree ONCE (reused every iteration)
-    ew = e.join(out_deg, "src").localCheckpoint()
+    ew = e.join(
+        dv.select(F.col("id").alias("src"), "out_deg"), "src"
+    ).localCheckpoint()
 
     dang_expr = F.sum(
-        F.when(F.col("has_out").isNull(), F.col("rank")).otherwise(0.0)
+        F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)
     ).alias("dang")
-    obs = Observation()
-    ranks = (
-        v.select("id", F.lit(1.0).alias("rank"), "has_out")
-        .observe(obs, dang_expr)
-        .localCheckpoint()
-    )
-    dang = dict(obs.get).get("dang") or 0.0
+    ranks = v.select("id", F.lit(1.0).alias("rank"), "has_out")
+    dang = float(got.get("n_dang") or 0)
     for _ in range(n_iter):
         msgs = (
             ew.join(ranks, ew.src == ranks.id)
