@@ -1040,21 +1040,33 @@ def q_kg_canonical_map(spark, sf_dir):
     from xwikire_spark.pipeline.canonicalize import connected_components
 
     p = _load(spark, sf_dir, "part")
+    # r7 (guide §2.4, same pattern as kg_triangles/LSH buckets): ONE hash
+    # aggregate per token collects the distinct brand set (partial
+    # combine collapses duplicates map-side), the >1000-fanout stop guard
+    # (mirrored in the oracle) filters on set size, and brand pairs
+    # expand in-row — replacing the old distinct-shuffle + per-token
+    # count window + bucket self-join + pair distinct chain.
     toks = p.select(
         F.col("p_brand").alias("brand"),
         F.explode(F.split("p_name", " ")).alias("tok"),
-    ).distinct()
-    # stop-token guard (mirrored in the oracle): a token shared by > 1000
-    # brands is non-discriminative and makes the self-join bucket quadratic
-    sized = toks.withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("tok"))
-    ).where(F.col("_n") <= 1000).drop("_n")
-    a = sized.alias("a")
-    b = sized.alias("b")
+    )
+    buckets = (
+        toks.groupBy("tok")
+        .agg(F.array_sort(F.collect_set("brand")).alias("brands"))
+        .where(F.size("brands") <= 1000)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda x, i: F.transform(
+                F.slice(F.col("brands"), i + 2, F.size(F.col("brands"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
     edges = (
-        a.join(b, "tok")
-        .where(F.col("a.brand") < F.col("b.brand"))
-        .select(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
+        buckets.select(F.explode(pair_arr).alias("e"))
+        .select(F.col("e.src"), F.col("e.dst"))
         .distinct()
     )
     vertices = p.select(F.col("p_brand").alias("id")).distinct()

@@ -2000,6 +2000,31 @@ class TestExactGroupQuantiles:
                 assert got[(g, q)] == vs[math.ceil(q * len(vs)) - 1]
         assert len(got) == 12
 
+    def test_non_dyadic_q_exact_rank(self, spark):
+        """ADVICE r6: double ceil(q*n) diverges from exact rational
+        arithmetic for non-dyadic q (0.07 * 100 -> 7.000000000000001 ->
+        rank 8 instead of 7). The rank must follow the exact rational the
+        decimal literal denotes."""
+        from fractions import Fraction
+        from math import ceil
+
+        from xwikire_spark.operators.quantiles import exact_group_quantiles
+
+        n = 100
+        df = spark.createDataFrame(
+            [(i, 0, i) for i in range(1, n + 1)], "id bigint, g int, v bigint"
+        )
+        qs = [0.07, 0.3, 0.55, 0.1]
+        got = {r["q"]: r["value"] for r in exact_group_quantiles(
+            df, "v", "g", qs, tiebreak_col="id"
+        ).collect()}
+        for q in qs:
+            fr = Fraction(str(q))
+            exact_rank = ceil(fr * n)  # Fraction arithmetic is exact
+            assert got[q] == exact_rank, (q, got[q], exact_rank)
+        # the documented divergence case: double gives 8, exact gives 7
+        assert got[0.07] == 7
+
     def test_duplicates_and_bad_q(self, spark):
         import pytest as _pytest
 

@@ -16,6 +16,16 @@ Chunk layout contract (mirrored in the DuckDB oracle):
 - chunks start while i*step < n_tokens, so the final chunk may be
   short but every token is covered and consecutive chunks share
   exactly ``overlap`` tokens (when a full window remains);
+- INTENDED consequence (ADVICE r6, kept deliberately): when
+  step < n_tokens <= chunk_tokens the trailing chunk is entirely
+  contained in the previous one (e.g. n=60, chunk=64, overlap=16 emits
+  a second chunk covering tokens 48-59, already inside chunk 0). The
+  contract is "a chunk starts at every i*step < n_tokens" — start
+  positions depend only on n, never on how much the previous chunk
+  covered — which keeps chunk_idx stable under document edits that
+  only change the tail and matches the committed DuckDB oracle.
+  Retrieval stacks that dislike duplicated tail content should dedup
+  on (doc_id, chunk_text) downstream;
 - empty/whitespace-only docs produce zero chunks.
 """
 

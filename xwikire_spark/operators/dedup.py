@@ -155,24 +155,33 @@ def lsh_candidate_pairs(
     guard; at web scale it is the difference between a bounded join and a
     quadratic one on the hottest bucket.
     """
+    # r7 shape (guide §2.4): ONE hash aggregate per bucket + in-row pair
+    # expansion replaces the window-count + bucket self-join chain (the
+    # window sorted every bucket partition, then the join re-probed it
+    # and emitted each pair as a join row). Memory note: a bucket's
+    # doc_id list lives in one aggregation buffer until the size filter
+    # drops it — the same rows the old window buffered to sort, so the
+    # hot-bucket exposure is unchanged and still bounded by the
+    # max_bucket stop guard dropping oversized buckets before any pair
+    # is generated.
     banded = _banded(signatures, n_bands)
-    sized = (
-        banded.withColumn(
-            "bucket_n",
-            F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash")),
-        )
-        .where(F.col("bucket_n") <= max_bucket)
-        .drop("bucket_n")
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") <= max_bucket)
     )
-    a = sized.alias("a")
-    b = sized.alias("b")
-    return (
-        a.join(b, ["band", "band_hash"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
 

@@ -134,6 +134,16 @@ def pack_sequences_incremental(
     lo = df.agg(
         F.min(order_col).alias("lo"), F.sum(tokens_col).alias("tok")
     ).collect()[0]
+    if lo["lo"] is None:
+        # empty batch: a clean no-op — return the current packed view
+        # (ADVICE r6: `None <= max_order` raised a bare TypeError here)
+        packed_dir = _os.path.join(state_dir, "packed")
+        if _os.path.isdir(packed_dir):
+            return df.sparkSession.read.parquet(packed_dir)
+        raise ValueError(
+            "pack_sequences_incremental: empty batch and no previously "
+            "packed output to return"
+        )
     if state["max_order"] is not None and lo["lo"] <= state["max_order"]:
         raise ValueError(
             f"batch min {order_col}={lo['lo']} overlaps packed range "

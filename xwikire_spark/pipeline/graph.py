@@ -26,27 +26,27 @@ def vertex_table(triples: DataFrame) -> DataFrame:
     countDistinct, so a conversation where the entity is both subject and
     object counts once; ADVICE r2 flagged the earlier role-summed double
     count). Three hash aggregates on the (small) entity key."""
-    outd = triples.groupBy(F.col("subj").alias("entity_id")).agg(
-        F.count(F.lit(1)).alias("out_degree"),
-    )
-    ind = triples.groupBy(F.col("obj").alias("entity_id")).agg(
-        F.count(F.lit(1)).alias("in_degree"),
-    )
-    convs = (
-        triples.select(F.col("subj").alias("entity_id"), "conv_id")
-        .unionByName(triples.select(F.col("obj").alias("entity_id"), "conv_id"))
-        .groupBy("entity_id")
-        .agg(F.countDistinct("conv_id").alias("conv_mentions"))
-    )
-    return (
-        outd.join(ind, "entity_id", "full")
-        .join(convs, "entity_id", "full")
-        .select(
-            "entity_id",
-            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
-            F.coalesce("conv_mentions", F.lit(0)).alias("conv_mentions"),
+    # r7 (guide §2.4): one role-tagged union + ONE aggregate replaces the
+    # old three aggregates + two full outer joins (each join another
+    # shuffle of the entity key). Identical semantics: conditional counts
+    # give 0 (not null) for a missing role, matching the old
+    # coalesce(..., 0), and the roles union BEFORE the distinct conv
+    # count exactly as before.
+    roles = triples.select(
+        F.col("subj").alias("entity_id"),
+        F.lit(1).alias("is_subj"),
+        "conv_id",
+    ).unionByName(
+        triples.select(
+            F.col("obj").alias("entity_id"),
+            F.lit(0).alias("is_subj"),
+            "conv_id",
         )
+    )
+    return roles.groupBy("entity_id").agg(
+        F.count(F.when(F.col("is_subj") == 1, 1)).alias("out_degree"),
+        F.count(F.when(F.col("is_subj") == 0, 1)).alias("in_degree"),
+        F.countDistinct("conv_id").alias("conv_mentions"),
     )
 
 
@@ -232,10 +232,23 @@ def pagerank(
     n = got.get("n") or 0
     if n == 0:
         return dv.select("id").withColumn("rank", F.lit(0.0))
-    # vertex frame with the has_out flag: a cheap projection of the
-    # checkpointed degree frame — no second materialization needed
-    v = dv.select(
-        "id", (F.coalesce(F.col("out_deg"), F.lit(0)) > 0).alias("has_out")
+    # r7 scale-ADAPTIVE iteration partitioning (guide §2): the vertex
+    # count is already observed, so the per-iteration frames are
+    # partitioned by actual size (~1M vertices per partition, capped at
+    # the session's shuffle parallelism) instead of dragging the global
+    # shuffle-partition constant through 10 tiny (or huge) iteration
+    # stages. Values are partition-invariant (sum/min aggregates).
+    spark_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    p = max(1, min(spark_parts, (n + 999_999) // 1_000_000))
+    v = (
+        dv.select(
+            "id",
+            (F.coalesce(F.col("out_deg"), F.lit(0)) > 0).alias("has_out"),
+        )
+        .repartition(p, "id")
+        .localCheckpoint()
     )
     # edges pre-joined with out-degree ONCE (reused every iteration)
     ew = e.join(
@@ -252,6 +265,7 @@ def pagerank(
             ew.join(ranks, ew.src == ranks.id)
             .select(F.col("dst").alias("id"),
                     (F.col("rank") / F.col("out_deg")).alias("m"))
+            .repartition(p, "id")
             .groupBy("id")
             .agg(F.sum("m").alias("msg"))
         )

@@ -503,7 +503,9 @@ def pruned_read(
                 return True
             try:
                 val = float(r["partition"].split("=", 1)[1])
-            except ValueError:
+            except (ValueError, IndexError):
+                # malformed partition strings (no '=' or non-numeric
+                # value) are kept conservatively, as promised above
                 return True
             return (lo is None or val >= lo) and (hi is None or val <= hi)
 
