@@ -681,11 +681,14 @@ def q_a2_vocab(spark, sf_dir):
     """A2: frequency vocab with reserved-offset ranks (vocabs.py:29-71)."""
     from xwikire_spark.operators.vocab import build_vocab
 
-    # one-row-group testbox shim (see kg_turns_df): spreads the
-    # tokenize-explode + partial count pass
-    docs = _load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # NOTE r7: an input-spreading repartition shim (see kg_turns_df) was
+    # A/B-measured here and in q_tfidf_topterms and NOT kept: both
+    # queries read the input on several branches (global_rank's
+    # count pass / tfidf's n_groups), and routing the branches through a
+    # shared exchange forfeits per-branch column pruning for no net win
+    # (alternating A/B at sf1.0: vocab 1.20 vs 1.28 s, tfidf 1.6 vs
+    # 2.5 s in plain's favor).
+    docs = _load(spark, sf_dir, "documents")
     return build_vocab(docs, "text", split_pattern=" ")
 
 
@@ -1800,11 +1803,9 @@ def q_tfidf_topterms(spark, sf_dir):
     aggregates + broadcast scalar + per-group top-k window."""
     from xwikire_spark.operators.ranking import tfidf_top_terms
 
-    # one-row-group testbox shim (see kg_turns_df): spreads the
-    # tokenize-explode pass; both frame branches reuse the one exchange
-    docs = _load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # no input-spreading shim here — measured net-negative (see the
+    # q_a2_vocab note: the n_groups branch loses its column-pruned scan)
+    docs = _load(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, "source", "text", k=3)
 
 

@@ -645,12 +645,27 @@ def ngram_jaccard_pairs_within_groups(
     inter = F.size(
         F.array_intersect(F.col("a.__tokset"), F.col("b.__tokset"))
     )
+    # exact LENGTH FILTER before the intersection: jaccard <= min(n)/max(n)
+    # (inter <= min and union >= max), so a pair whose size ratio is
+    # strictly below the threshold can never qualify and skips the
+    # set-intersection entirely. Compared in exact integer arithmetic
+    # over the rational the threshold literal denotes (min*den >=
+    # num*max), so the boundary ratio == threshold is KEPT — no
+    # floating-point false negatives.
+    from fractions import Fraction
+
+    _t = Fraction(str(float(threshold)))
+    len_ok = (
+        F.least(F.col("a.__n"), F.col("b.__n")) * F.lit(_t.denominator)
+        >= F.lit(_t.numerator)
+        * F.greatest(F.col("a.__n"), F.col("b.__n"))
+    )
     # generate barrier: materialize the intersection size once per pair
     # (naive select+filter lets projection collapse re-inline the
     # array_intersect into the threshold filter)
     g = (
         a.join(b, group_cols)
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where((F.col("a.doc_id") < F.col("b.doc_id")) & len_ok)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -54,6 +54,13 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
+    # n_groups deliberately counts distinct groups in the INPUT frame
+    # (VERDICT r6 #4 suggested deriving it from `tf` to avoid a second
+    # input scan, but a group whose documents contain zero tokens counts
+    # toward idf here and would vanish from `tf` — the committed oracle
+    # counts DISTINCT source FROM documents, so input semantics are
+    # load-bearing). The second scan is a single column, pruned at the
+    # parquet reader, and 1-row output.
     n_groups = df.select(group_col).distinct().agg(
         F.count(F.lit(1)).alias("n_groups")
     )
