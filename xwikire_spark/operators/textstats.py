@@ -116,24 +116,44 @@ def scrub_pii(
     Adds to every row: ``n_urls``, ``n_emails`` (match counts on the raw
     text) and replaces ``text_col`` with the redacted text (URLs first so
     an address inside a URL query-string counts once, as part of the URL).
-    Pure JVM expressions — one projection, no shuffle, scales as a map.
+    Pure JVM expressions — no shuffle, scales as a map.
     Dedup note: run exact/minhash dedup AFTER scrubbing so documents
     differing only in tracking URLs or contact lines collapse.
+
+    Regex-pass budget (r7, guide §2.3 "touch each byte once"): the naive
+    one-projection form ran the URL pattern over every byte THREE times
+    (count, inside the email-count chain, final replace). The generate
+    barrier below materializes the URL-redacted text once, so both email
+    expressions read it as a plain attribute: 2 URL passes + 2 EMAIL
+    passes total, with the count passes as ``regexp_count`` (no matched-
+    substring array is built). ``regexp_count(x, p)`` ==
+    ``size(regexp_extract_all(x, p, 0))`` for never-empty-match patterns
+    (both count the same non-overlapping find() iteration; null in, null
+    out) — output bit-identical to the previous form.
     """
     col = F.col(text_col)
-    return docs.select(
-        *[c for c in docs.columns if c != text_col],
-        F.size(F.expr(
-            f"regexp_extract_all({text_col}, '{URL_PATTERN}', 0)"
-        )).alias("n_urls"),
-        F.size(F.expr(
-            f"regexp_extract_all(regexp_replace({text_col}, "
-            f"'{URL_PATTERN}', '{url_token}'), '{EMAIL_PATTERN}', 0)"
-        )).alias("n_emails"),
+    others = [c for c in docs.columns if c != text_col]
+    s1 = docs.select(
+        *others,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.regexp_count(col, F.lit(URL_PATTERN)).alias("nu"),
+                    F.regexp_replace(col, URL_PATTERN, url_token).alias(
+                        "u"
+                    ),
+                )
+            )
+        ).alias("__s1"),
+    )
+    return s1.select(
+        *others,
+        F.col("__s1.nu").alias("n_urls"),
+        F.regexp_count(F.col("__s1.u"), F.lit(EMAIL_PATTERN)).alias(
+            "n_emails"
+        ),
         F.regexp_replace(
-            F.regexp_replace(col, URL_PATTERN, url_token),
-            EMAIL_PATTERN,
-            email_token,
+            F.col("__s1.u"), EMAIL_PATTERN, email_token
         ).alias(text_col),
     )
 

@@ -169,10 +169,12 @@ def pagerank(
     the loop; negligible next to n_iter iterations).
 
     Plan shape per iteration (the 100 TB view):
-    - contributions = edges ⋈ ranks on src, partial-sum map-side, one
-      hash-aggregate shuffle keyed by dst — hot entities (high in-degree)
-      are handled by the partial aggregate, not a skewed join, because
-      sum is associative;
+    - contributions = weighted-distinct edges ⋈ ranks on src (parallel
+      multi-edges are collapsed to one row with a multiplicity before
+      the loop — iteration cost scales with DISTINCT pairs, not
+      mentions), partial-sum map-side, one hash-aggregate shuffle keyed
+      by dst — hot entities (high in-degree) are handled by the partial
+      aggregate, not a skewed join, because sum is associative;
     - the dangling-mass scalar rides the iteration's OWN checkpoint job
       via ``observe()`` (the connected_components trick): each iteration
       observes sum(rank where no out-edges) over the ranks it just
@@ -198,9 +200,25 @@ def pagerank(
     # ride this single checkpoint job via observe(); since initial ranks
     # are all 1.0, dang0 = n_dangling * 1.0 exactly — same value the old
     # ranks-frame observation produced.
+    # r7 weighted-edge collapse FIRST (guide §2.3
+    # aggregate-before-iterate): parallel (src, dst) multi-edges fold
+    # into one row carrying their multiplicity, so (a) every loop
+    # iteration joins/shuffles the DISTINCT edge set, not one row per
+    # mention (the co-mention graph here is ~7000x denser in mentions
+    # than in distinct pairs; any KG built from conversations shares
+    # that shape), and (b) the degree/vertex aggregate below runs over
+    # the collapsed frame — ONE full-data pass in init instead of two.
+    # out_deg = sum(cnt) still counts multi-edges exactly (integer sum).
+    ewc = (
+        e.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
     deg_all = (
-        e.select(F.col("src").alias("id"), F.lit(1).alias("c"))
-        .unionByName(e.select(F.col("dst").alias("id"), F.lit(0).alias("c")))
+        ewc.select(F.col("src").alias("id"), F.col("cnt").alias("c"))
+        .unionByName(
+            ewc.select(F.col("dst").alias("id"), F.lit(0).alias("c"))
+        )
         .groupBy("id")
         .agg(F.sum("c").alias("out_deg"))
     )
@@ -232,29 +250,28 @@ def pagerank(
     n = got.get("n") or 0
     if n == 0:
         return dv.select("id").withColumn("rank", F.lit(0.0))
-    # r7 scale-ADAPTIVE iteration partitioning (guide §2): the vertex
-    # count is already observed, so the per-iteration frames are
-    # partitioned by actual size (~1M vertices per partition, capped at
-    # the session's shuffle parallelism) instead of dragging the global
-    # shuffle-partition constant through 10 tiny (or huge) iteration
-    # stages. Values are partition-invariant (sum/min aggregates).
-    spark_parts = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    # floor of 2: repartition(1, key) canonicalizes to Exchange
-    # SinglePartition, which the plan-hygiene tests (rightly) reject as
-    # a funnel signature; two partitions keep the invariant at zero cost
-    p = max(2, min(spark_parts, (n + 999_999) // 1_000_000))
-    v = (
-        dv.select(
-            "id",
-            (F.coalesce(F.col("out_deg"), F.lit(0)) > 0).alias("has_out"),
-        )
-        .repartition(p, "id")
-        .localCheckpoint()
-    )
-    # edges pre-joined with out-degree ONCE (reused every iteration)
-    ew = e.join(
+    # r7 iteration partitioning (guide §2): the contributions aggregate
+    # takes its Exchange from the groupBy itself, so the partial
+    # HashAggregate sits BELOW the shuffle (map-side combine — hot
+    # high-in-degree entities reduce before a byte moves) and AQE
+    # coalesces the tiny post-shuffle partitions adaptively. An earlier
+    # r7 draft repartition()ed the iteration frames to an observed-size
+    # partition count; the explicit user Exchange hoisted BOTH aggregate
+    # halves above the shuffle (raw one-row-per-edge shuffle, no map
+    # combine — plan-verified) and measured no faster locally, so it was
+    # dropped: AQE coalescing is the scale-adaptive mechanism, with the
+    # skew protection intact.
+    v = dv.select(
+        "id",
+        (F.coalesce(F.col("out_deg"), F.lit(0)) > 0).alias("has_out"),
+    ).localCheckpoint()
+    # Weighted edges pre-joined with out-degree ONCE (reused every
+    # iteration). The contribution sum is unchanged mathematically — k
+    # identical terms rank/out_deg become (rank/out_deg)*k — with
+    # cnt == 1 graphs bit-identical (*1 is exact) and multigraphs
+    # differing only at the last ulp (gated at 1e-9 by the numpy
+    # differential).
+    ew = ewc.join(
         dv.select(F.col("id").alias("src"), "out_deg"), "src"
     ).localCheckpoint()
 
@@ -279,8 +296,8 @@ def pagerank(
         msgs = (
             ew.join(ranks, ew.src == ranks.id)
             .select(F.col("dst").alias("id"),
-                    (F.col("rank") / F.col("out_deg")).alias("m"))
-            .repartition(p, "id")
+                    (F.col("rank") / F.col("out_deg")
+                     * F.col("cnt")).alias("m"))
             .groupBy("id")
             .agg(F.sum("m").alias("msg"))
         )
